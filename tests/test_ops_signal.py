@@ -1,0 +1,181 @@
+"""SciPy/pandas oracle tests for the core signal ops."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import scipy.signal as sps
+
+from decode_tonal_langauge_tpu.ops import fir, hilbert, iir, rereference, resample
+
+
+def _sig(rng, c=4, t=2000):
+    return rng.standard_normal((c, t)).astype(np.float32)
+
+
+class TestResample:
+    @pytest.mark.parametrize("num", [500, 512, 1999, 2000, 2501, 4000])
+    def test_matches_scipy(self, rng, num):
+        x = _sig(rng, 3, 2000)
+        ours = np.asarray(resample.fft_resample(x, num))
+        ref = sps.resample(x.astype(np.float64), num, axis=-1)
+        np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+    def test_rate_helper_sample_count(self, rng):
+        x = _sig(rng, 2, 3052)
+        y = resample.resample_to_rate(x, 3052.0, 400.0)
+        assert y.shape == (2, int(3052 * (400 / 3052)))
+
+
+class TestHilbert:
+    def _reference_hilbert(self, data, sr, freq_range, envelope=True):
+        """Independent NumPy re-derivation of the reference filter bank
+        (cf. /root/reference/preprocess/signal/frequency_filter.py:80-184)."""
+        import math
+
+        c, t = data.shape
+        centers, sigmas = hilbert.gaussian_bank_params([freq_range])
+        freqs = np.fft.fftfreq(t, d=1.0 / sr)
+        mult = hilbert.hilbert_multiplier(t)
+        out = np.zeros((c, t, len(centers)))
+        dfft = np.fft.fft(data, axis=1)
+        for i, (fc, sf) in enumerate(zip(centers, sigmas)):
+            H = np.exp(-0.5 * ((freqs - fc) / sf) ** 2)
+            H[0] = 0
+            k = H * mult
+            for ch in range(c):
+                sig = np.fft.ifft(dfft[ch] * k)
+                out[ch, :, i] = np.abs(sig) if envelope else sig.real
+        return out.mean(axis=2)
+
+    def test_bank_params_span_range(self):
+        centers, sigmas = hilbert.gaussian_bank_params([(70.0, 150.0)])
+        assert centers.min() >= 70.0
+        assert centers.max() <= 150.0
+        assert len(centers) == len(sigmas) > 3
+
+    @pytest.mark.parametrize("envelope", [True, False])
+    def test_matches_numpy_oracle(self, rng, envelope):
+        x = _sig(rng, 3, 1024)
+        sr = 400.0
+        ours = np.asarray(
+            hilbert.hilbert_filter(x, sr, [(70.0, 150.0)], envelope=envelope)
+        )
+        ref = self._reference_hilbert(x.astype(np.float64), sr, (70.0, 150.0), envelope)
+        np.testing.assert_allclose(ours, ref, rtol=5e-3, atol=5e-4)
+
+    def test_envelope_of_pure_tone(self):
+        # amplitude-modulated 100 Hz carrier: envelope should track |modulation|
+        sr = 400.0
+        t = np.arange(4096) / sr
+        amp = 1.0 + 0.5 * np.sin(2 * np.pi * 0.5 * t)
+        x = (amp * np.sin(2 * np.pi * 100.0 * t)).astype(np.float32)[None, :]
+        env = np.asarray(hilbert.hilbert_filter(x, sr, [(70.0, 150.0)]))[0]
+        # envelope is attenuated by the bank gain but must correlate strongly
+        corr = np.corrcoef(env[200:-200], amp[200:-200])[0, 1]
+        assert corr > 0.97
+
+
+class TestIIR:
+    def test_lfilter_matches_scipy(self, rng):
+        b, a = sps.butter(4, [0.1, 0.4], btype="bandpass")
+        x = _sig(rng, 3, 1500)
+        ours = np.asarray(iir.lfilter(b, a, x))
+        ref = sps.lfilter(b, a, x.astype(np.float64), axis=-1)
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=5e-4)
+
+    def test_lfilter_with_zi(self, rng):
+        b, a = sps.butter(2, 0.2)
+        x = _sig(rng, 1, 400)[0]
+        zi = sps.lfilter_zi(b, a)
+        ours, zf = iir.lfilter(b, a, x, zi=zi.astype(np.float32) * x[0])
+        ref, ref_zf = sps.lfilter(b, a, x.astype(np.float64), zi=zi * x[0])
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(zf), ref_zf, rtol=1e-3, atol=1e-4)
+
+    def test_filtfilt_matches_scipy(self, rng):
+        b, a = sps.butter(4, [0.05, 0.45], btype="bandpass")
+        x = _sig(rng, 3, 2000)
+        ours = np.asarray(iir.filtfilt(b, a, x))
+        ref = sps.filtfilt(b, a, x.astype(np.float64), axis=-1)
+        np.testing.assert_allclose(ours, ref, rtol=5e-3, atol=5e-4)
+
+    def test_sosfilt_matches_scipy(self, rng):
+        sos = sps.butter(4, [0.1, 0.4], btype="bandpass", output="sos")
+        x = _sig(rng, 3, 1200)
+        ours = np.asarray(iir.sosfilt(sos, x))
+        ref = sps.sosfilt(sos, x.astype(np.float64), axis=-1)
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+    def test_butter_filter_lowpass(self, rng):
+        x = _sig(rng, 2, 1600)
+        ours = np.asarray(
+            iir.butter_filter(x, 50.0, fs=400.0, filter_type="lowpass")
+        )
+        b, a = sps.butter(4, 50.0 / 200.0, btype="lowpass")
+        ref = sps.filtfilt(b, a, x.astype(np.float64), axis=-1)
+        np.testing.assert_allclose(ours, ref, rtol=5e-3, atol=5e-4)
+
+
+class TestFIR:
+    def test_causal_fir_matches_lfilter(self, rng):
+        taps = sps.firwin(91, [0.2, 0.3], pass_zero=False)
+        x = _sig(rng, 3, 1000)
+        ours = np.asarray(fir.fir_causal(taps.astype(np.float32), x))
+        ref = sps.lfilter(taps, 1.0, x.astype(np.float64), axis=-1)
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-5)
+
+    def test_bandpass_bank_matches_reference_loop(self, rng):
+        x = _sig(rng, 2, 800)
+        fs, order, centers = 400.0, 90, [80.0, 110.0]
+        ours = np.asarray(fir.fir_bandpass_filter(x, fs, order, centers))
+        ref = np.zeros_like(x, dtype=np.float64)
+        for c in centers:
+            t = sps.firwin(order + 1, [c * 0.9 / 200.0, c * 1.1 / 200.0],
+                           pass_zero=False, fs=fs)
+            ref += sps.lfilter(t, 1.0, x.astype(np.float64), axis=-1)
+        ref /= len(centers)
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-5)
+
+
+class TestRereference:
+    def test_car(self, rng):
+        x = _sig(rng, 6, 500)
+        ours = np.asarray(rereference.car_rereference(x, exclude_channels=[1, 4]))
+        mask = np.ones(6, bool)
+        mask[[1, 4]] = False
+        ref = x - x[mask].mean(axis=0, keepdims=True)
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+    def test_car_invalid_channel(self, rng):
+        with pytest.raises(ValueError):
+            rereference.car_rereference(_sig(rng, 4, 100), exclude_channels=[9])
+
+    def test_interval_zscore(self, rng):
+        x = _sig(rng, 4, 1000)
+        ours = np.asarray(rereference.interval_zscore(x, 0, 250))
+        mu = x[:, :250].mean(axis=1, keepdims=True)
+        sd = x[:, :250].std(axis=1, keepdims=True)
+        np.testing.assert_allclose(ours, (x - mu) / sd, rtol=1e-4, atol=1e-4)
+
+    def test_channel_zscore(self, rng):
+        x = _sig(rng, 4, 1000)
+        ours = np.asarray(rereference.channel_zscore(x))
+        mu = x.mean(axis=1, keepdims=True)
+        sd = x.std(axis=1, keepdims=True)
+        np.testing.assert_allclose(ours, (x - mu) / sd, rtol=1e-4, atol=1e-4)
+
+    def test_rolling_zscore_matches_pandas(self, rng):
+        x = _sig(rng, 3, 700)
+        w = 50
+        ours = np.asarray(rereference.rolling_zscore(x, w))
+        df = pd.DataFrame(x.T.astype(np.float64))
+        roll = df.rolling(window=w, min_periods=1)
+        ref = ((df - roll.mean()) / roll.std()).T.to_numpy()
+        # first column is NaN in both (single-sample window, ddof=1 std)
+        assert np.isnan(ours[:, 0]).all() and np.isnan(ref[:, 0]).all()
+        np.testing.assert_allclose(ours[:, 1:], ref[:, 1:], rtol=2e-3, atol=2e-3)
+
+    def test_rolling_zscore_fill_nans(self, rng):
+        x = _sig(rng, 2, 100)
+        ours = np.asarray(rereference.rolling_zscore(x, 10, fill_nans=True))
+        assert np.isfinite(ours).all()
