@@ -1,0 +1,155 @@
+"""Paper deep classifiers: temporal CNN (syllable) and CNN-RNN (tone).
+
+Flax counterparts of ``/root/reference/models/deep_classifiers.py`` — the
+architectures of Liu et al., Sci. Adv. 2023. Layout is TPU-native NHWC
+(time = H, electrodes = W, features = C) instead of the reference's NCHW;
+kernel/width/stride structure, latent-length arithmetic, and the sigmoid
+output head are preserved.
+
+Known reference quirk *not* replicated: ``CNNRNNClassifier.forward`` uses
+``x.view(B, t', -1)`` on an NCHW tensor (``deep_classifiers.py:309``),
+which scrambles channel/time ordering before the second LSTM; here the
+reshape keeps (time, width*features) semantics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .base import conv_output_length
+
+
+def cnn_latent_length(input_length: int) -> int:
+    """Temporal length after the CNNClassifier feature extractor
+    (6 valid convs k=3 with pools k=2 after blocks 1-4 and 6;
+    ``deep_classifiers.py:121-155``)."""
+    t = input_length
+    for _ in range(4):
+        t = conv_output_length(t, 3)
+        t = conv_output_length(t, 2, stride=2)
+    t = conv_output_length(t, 3)  # block 5: conv only
+    t = conv_output_length(t, 3)
+    t = conv_output_length(t, 2, stride=2)
+    return t
+
+
+class CNNClassifier(nn.Module):
+    """Temporal CNN for syllable decoding (``deep_classifiers.py:17-155``).
+
+    Input (B, C, T) -> image (B, T, C, 1) -> 6 conv blocks (512...256
+    features, kernel (3,1) over time) -> Dense(1024) -> Dense(n_classes)
+    -> sigmoid.
+    """
+
+    input_channels: int
+    input_length: int
+    n_classes: int
+    dropout_rate: float = 0.5
+    negative_slope: float = 0.01
+
+    def setup(self):
+        if self.n_classes < 2:
+            raise ValueError("Number of classes must be at least 2.")
+        if self.input_channels <= 0:
+            raise ValueError("Input channels must be a positive integer.")
+        self.latent_length = cnn_latent_length(self.input_length)
+        if self.latent_length <= 0:
+            raise ValueError(
+                "Input length is too small for the convolutional layers. "
+                "Please increase the input length or adjust the model architecture."
+            )
+
+        widths = [512, 512, 512, 512, 512, 256]
+        self.convs = [
+            nn.Conv(w, kernel_size=(3, 1), padding="VALID") for w in widths
+        ]
+        self.dropout = nn.Dropout(self.dropout_rate)
+        self.fc1 = nn.Dense(1024)
+        self.fc2 = nn.Dense(self.n_classes)
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # (B, C, T) -> (B, T, C, 1)
+        x = jnp.transpose(x, (0, 2, 1))[..., None]
+
+        for i, conv in enumerate(self.convs):
+            x = conv(x)
+            x = nn.leaky_relu(x, negative_slope=self.negative_slope)
+            if i != 4:  # block 5 has no pool
+                x = nn.max_pool(x, window_shape=(2, 1), strides=(2, 1))
+        x = self.dropout(x, deterministic=not train)
+
+        x = x.reshape((x.shape[0], -1))
+        x = nn.leaky_relu(self.fc1(x), negative_slope=self.negative_slope)
+        return nn.sigmoid(self.fc2(x))
+
+
+class CNNRNNClassifier(nn.Module):
+    """CNN-RNN for tone decoding (``deep_classifiers.py:158-343``).
+
+    Parallel branches — LSTM(C -> lstm_dim) last state reshaped into an
+    image, and the raw (T, C) image — each through a Conv(1024, k=(7,1)) +
+    pool block, concatenated on the electrode/width axis, processed by a
+    1024 -> 512 -> 256 conv stack, then a second LSTM(-> 512) whose last
+    state feeds the sigmoid head. Requires lstm_dim % input_length == 0.
+    """
+
+    input_channels: int
+    input_length: int
+    n_classes: int
+    lstm_dim: int = 800
+    dropout: float = 0.5
+    negative_slope: float = 0.01
+
+    def setup(self):
+        if self.n_classes < 2:
+            raise ValueError("Number of classes must be at least 2.")
+        if self.lstm_dim % self.input_length != 0:
+            raise ValueError(
+                f"lstm_dim ({self.lstm_dim}) must be divisible "
+                f"by input_length ({self.input_length})."
+            )
+        self.lstm1 = nn.RNN(nn.OptimizedLSTMCell(self.lstm_dim))
+        self.conv1 = nn.Conv(1024, kernel_size=(7, 1), padding="VALID")
+        self.conv2 = nn.Conv(1024, kernel_size=(7, 1), padding="VALID")
+        self.conv3a = nn.Conv(512, kernel_size=(7, 1), padding="VALID")
+        self.conv3b = nn.Conv(256, kernel_size=(7, 1), padding="VALID")
+        self.drop = nn.Dropout(self.dropout)
+        self.lstm2 = nn.RNN(nn.OptimizedLSTMCell(512))
+        self.head = nn.Dense(self.n_classes)
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        b, c, t = x.shape
+        if c != self.input_channels:
+            raise ValueError(f"Expected {self.input_channels} channels, got {c}.")
+        if t != self.input_length:
+            raise ValueError(f"Expected input length {self.input_length}, got {t}.")
+
+        seq = jnp.transpose(x, (0, 2, 1))  # (B, T, C)
+        x1 = self.lstm1(seq)[:, -1, :]  # (B, lstm_dim)
+
+        def conv_pool(img, conv):
+            img = conv(img)
+            img = nn.leaky_relu(img, negative_slope=self.negative_slope)
+            return nn.max_pool(img, window_shape=(2, 1), strides=(2, 1))
+
+        # Raw branch: (B, T, C, 1)
+        raw = seq[..., None]
+        raw = conv_pool(raw, self.conv1)  # (B, t, C, 1024)
+
+        # LSTM branch: last state viewed as a (T, lstm_dim // T) image.
+        x1 = x1.reshape((b, t, self.lstm_dim // t))[..., None]
+        x1 = conv_pool(x1, self.conv2)  # (B, t, lstm_dim//T, 1024)
+
+        xf = jnp.concatenate([x1, raw], axis=2)  # concat on width
+
+        y = nn.leaky_relu(self.conv3a(xf), negative_slope=self.negative_slope)
+        y = nn.leaky_relu(self.conv3b(y), negative_slope=self.negative_slope)
+        y = nn.max_pool(y, window_shape=(3, 1), strides=(3, 1))
+        y = self.drop(y, deterministic=not train)
+
+        # (B, t', w, 256) -> (B, t', w*256)
+        y = y.reshape((y.shape[0], y.shape[1], -1))
+        y = self.lstm2(y)[:, -1, :]
+        return nn.sigmoid(self.head(y))

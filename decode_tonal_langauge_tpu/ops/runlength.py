@@ -18,9 +18,11 @@ def max_consecutive_true(mask: jax.Array) -> jax.Array:
     For each position, the running streak is ``cumsum(mask) - cumsum value at
     the most recent False``; the max streak over time is the answer.
     """
+    mask = jnp.asarray(mask)
     x = mask.astype(jnp.int32)
-    cs = jnp.cumsum(x, axis=-1)
+    axis = x.ndim - 1  # lax.cummax requires a non-negative axis
+    cs = jnp.cumsum(x, axis=axis)
     reset = jnp.where(mask, 0, cs)
-    running_reset = jax.lax.cummax(reset, axis=-1)
+    running_reset = jax.lax.cummax(reset, axis=axis)
     streak = cs - running_reset
-    return streak.max(axis=-1)
+    return streak.max(axis=axis)

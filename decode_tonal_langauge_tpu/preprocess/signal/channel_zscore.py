@@ -1,0 +1,17 @@
+"""Global per-channel z-score step plugin.
+
+Cf. ``/root/reference/preprocess/signal/channel_zscore.py:5-29``.
+"""
+
+from __future__ import annotations
+
+from argparse import Namespace
+
+import numpy as np
+
+from ...ops.rereference import channel_zscore
+
+
+def run(data: np.ndarray, params: Namespace) -> np.ndarray:
+    preserve_nans = getattr(params, "preserve_nans", True)
+    return np.asarray(channel_zscore(data, fill_nans=not preserve_nans))

@@ -1,0 +1,171 @@
+"""Preprocess stage tests: plugin steps, preprocessor core, subject/block
+pipeline over a synthetic subject."""
+
+import os
+from argparse import Namespace
+
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+from decode_tonal_langauge_tpu.config import dict_to_namespace
+from decode_tonal_langauge_tpu.data.synthetic import SyntheticSpec, write_subject
+from decode_tonal_langauge_tpu.preprocess import main as preprocess_main
+from decode_tonal_langauge_tpu.preprocess import preprocessor
+from decode_tonal_langauge_tpu.preprocess.signal import (
+    channel_zscore,
+    downsample,
+    frequency_filter,
+    zscore_rereference,
+)
+
+
+def test_downsample_updates_signal_freq(rng):
+    data = rng.standard_normal((4, 2000)).astype(np.float32)
+    params = Namespace(signal_freq=1000.0, downsample_freq=400)
+    out = downsample.run(data, params)
+    assert params.signal_freq == 400
+    assert out.shape == (4, 800)
+    ref = sps.resample(data.astype(np.float64), 800, axis=1)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_frequency_filter_band_concat(rng):
+    data = rng.standard_normal((3, 1000)).astype(np.float32)
+    params = Namespace(
+        signal_freq=400.0,
+        bands=[
+            {"method": "hilbert", "params": {"freq_ranges": [70, 150], "envelope": True}},
+            {"method": "butter", "params": {"freqs": [0.3, 100], "filter_type": "bandpass"}},
+        ],
+    )
+    out = frequency_filter.run(data, params)
+    assert out.shape == (6, 1000)  # both bands concatenated over channels
+
+
+def test_frequency_filter_requires_bands(rng):
+    with pytest.raises(ValueError):
+        frequency_filter.run(
+            rng.standard_normal((2, 100)), Namespace(signal_freq=400.0, bands=None)
+        )
+
+
+def test_zscore_rereference_step(rng):
+    data = rng.standard_normal((3, 1000)).astype(np.float32) + 5.0
+    params = Namespace(signal_freq=100.0, rereference_interval=[0.0, 2.0])
+    out = zscore_rereference.run(data, params)
+    ref_mu = data[:, :200].mean(axis=1, keepdims=True)
+    ref_sd = data[:, :200].std(axis=1, keepdims=True)
+    np.testing.assert_allclose(out, (data - ref_mu) / ref_sd, rtol=1e-4, atol=1e-4)
+
+
+def test_preprocessor_param_collision(rng):
+    data = rng.standard_normal((2, 500)).astype(np.float32)
+    params = Namespace(signal_freq=400.0)
+    steps = [
+        {"module": "channel_zscore", "params": {"preserve_nans": True}},
+        {"module": "channel_zscore", "params": {"preserve_nans": False}},
+    ]
+    with pytest.raises(ValueError, match="already exists"):
+        preprocessor.preprocess_signal(data, steps, params)
+
+
+def test_preprocess_modalities_injects_sf(rng):
+    data_dict = {
+        "ecog": rng.standard_normal((2, 2000)).astype(np.float32),
+        "ecog_sf": 1000.0,
+        "audio": rng.standard_normal((1, 4000)).astype(np.float32),
+        "audio_sf": 2000.0,
+    }
+    modalities_cfg = {
+        "ecog": {
+            "type": "signal",
+            "preprocessing": {
+                "steps": [{"module": "downsample", "params": {"downsample_freq": 400}}]
+            },
+        },
+        "audio": {"type": "signal"},  # no steps: untouched
+    }
+    out = preprocessor.preprocess_modalities(
+        data_dict, modalities_cfg, dict_to_namespace({})
+    )
+    assert out["ecog_sf"] == 400
+    assert out["ecog"].shape == (2, 800)
+    assert out["audio"].shape == (1, 4000)  # untouched
+
+
+def test_subject_block_pipeline_end_to_end(tmp_path):
+    spec = SyntheticSpec(n_channels=8, n_blocks=2, trials_per_block=4,
+                         ecog_sf=500.0, audio_sf=1000.0)
+    write_subject(str(tmp_path / "raw"), 1, spec)
+
+    config = {
+        "preprocess": {
+            "module": "preprocess_main",
+            "params": {
+                "pipeline": {
+                    "module": "preprocess.pipelines.subject_block",
+                    "params": {
+                        "subject_dirs": ["Sub1"],
+                        "subject_ids": [1],
+                        "figures": False,
+                    },
+                },
+                "io": {
+                    "module": "preprocess.io.npz_blocks",
+                    "params": {
+                        "root_dir": str(tmp_path / "raw"),
+                        "output_dir": str(tmp_path / "processed"),
+                    },
+                },
+                "preprocessor": {"module": "preprocess.preprocessor"},
+                "modalities": {
+                    "ecog": {
+                        "type": "signal",
+                        "preprocessing": {
+                            "steps": [
+                                {"module": "downsample", "params": {"downsample_freq": 250}},
+                                {
+                                    "module": "frequency_filter",
+                                    "params": {
+                                        "bands": [
+                                            {
+                                                "method": "hilbert",
+                                                "params": {
+                                                    "freq_ranges": [70, 110],
+                                                    "envelope": True,
+                                                },
+                                            }
+                                        ]
+                                    },
+                                },
+                                {
+                                    "module": "zscore_rereference",
+                                    "params": {"rereference_interval": [0.0, 5.0]},
+                                },
+                            ]
+                        },
+                    },
+                    "audio": {"type": "signal"},
+                },
+            },
+        }
+    }
+
+    setup_dir = preprocess_main.run(config)
+    assert os.path.exists(os.path.join(setup_dir, "config.yaml"))
+    subj_dir = os.path.join(setup_dir, "subject_1")
+    for block in (1, 2):
+        ecog_file = os.path.join(subj_dir, f"B{block}_ecog.npz")
+        audio_file = os.path.join(subj_dir, f"B{block}_audio.npz")
+        assert os.path.exists(ecog_file) and os.path.exists(audio_file)
+        ecog = np.load(ecog_file)
+        assert float(ecog["sf"]) == 250
+        assert ecog["data"].shape[0] == 8
+        # high-gamma envelope is non-negative-ish after z-score? envelope was
+        # z-scored, so just check it is finite and correct length
+        assert np.isfinite(ecog["data"]).all()
+
+    # re-run: same hashed setup dir reused, no error
+    setup_dir2 = preprocess_main.run(config)
+    assert setup_dir2 == setup_dir
