@@ -1,0 +1,129 @@
+"""Sample loading for classifier training.
+
+Capability parity with ``/root/reference/data_loading/sample_loading.py``:
+loads the sample npz, combines multi-target labels with a mixed-radix code
+(first-target-minor: ``labels += label_i * prod(n_classes[:i])``,
+``sample_loading.py:66-72``), filters channels as the union of
+``<target>_discriminative`` selections from a channel JSON, and prepares
+Cartesian-product class-label strings. Arrays stay NumPy; device placement
+happens in the trainer.
+"""
+
+from __future__ import annotations
+
+import json
+from argparse import Namespace
+from itertools import product
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+class ClassificationSampleHandler:
+    """Loads and prepares (features, labels, channels) from a sample npz."""
+
+    def __init__(self, params: Namespace):
+        self.sample_path = params.sample_path
+        self.channel_file = getattr(params, "channel_file", None)
+        self.dataset = np.load(self.sample_path)
+        self.channels: Optional[np.ndarray] = None
+        self.targets = getattr(params, "targets", None)
+        if isinstance(self.targets, str):
+            self.targets = [self.targets]
+        self.params = params
+
+    def load_data(self) -> dict:
+        """Returns features (N, C', T), combined labels (N,), the selected
+        channels, and per-target class counts."""
+        feature_key = getattr(self.params, "features", "ecog")
+        if feature_key not in self.dataset:
+            raise KeyError(
+                f"The dataset in {self.sample_path} does not contain {feature_key}. "
+                f"Available keys: {', '.join(self.dataset.keys())}"
+            )
+        features = self.dataset[feature_key]
+
+        target_labels = []
+        n_classes_dict: Dict[str, int] = {}
+        for target in self.targets:
+            if target not in self.dataset:
+                raise KeyError(
+                    f"The dataset does not contain '{target}' key. "
+                    f"Available keys: {', '.join(self.dataset.keys())}"
+                )
+            target_labels.append(self.dataset[target].flatten())
+            n_classes_dict[target] = len(np.unique(self.dataset[target]))
+
+        labels = np.zeros_like(target_labels[0], dtype=int)
+        multiplier = 1
+        for target_label in target_labels:
+            labels += target_label * multiplier
+            multiplier *= len(np.unique(target_label))
+
+        self.channels = self._filter_channels(features.shape[1])
+        features = features[:, self.channels, :]
+
+        return {
+            "features": features,
+            "labels": labels,
+            "selected_channels": self.channels,
+            "n_classes_dict": n_classes_dict,
+        }
+
+    def _filter_channels(self, n_channels: int) -> np.ndarray:
+        if self.channel_file is None:
+            return np.arange(n_channels)
+
+        with open(self.channel_file, "r") as f:
+            channel_selections = json.load(f)
+
+        channels: set = set()
+        for target in self.targets:
+            key = f"{target}_discriminative"
+            if key not in channel_selections:
+                raise KeyError(
+                    f"Channel selection for '{key}' not found in the file "
+                    f"{self.channel_file}. "
+                    f"Available keys: {', '.join(channel_selections.keys())}"
+                )
+            channels.update(channel_selections[key])
+
+        if not channels:
+            raise ValueError(
+                f"No channels found for the targets: {', '.join(self.targets)}. "
+                f"Please check the channel file {self.channel_file}"
+            )
+
+        return np.array(sorted(channels))
+
+    def prepare_class_labels(
+        self, n_classes_dict: Optional[Dict[str, int]] = None
+    ) -> List[str]:
+        """Class-label strings; Cartesian product across multiple targets."""
+        class_labels_dict = getattr(self.params, "class_labels", {}) or {}
+
+        if len(self.targets) > 1:
+            per_target = []
+            for target in self.targets:
+                given = class_labels_dict.get(target)
+                if given is None:
+                    if n_classes_dict is None or target not in n_classes_dict:
+                        raise ValueError(
+                            f"Number of classes for target '{target}' is not provided."
+                        )
+                    per_target.append(
+                        [str(i) for i in range(1, n_classes_dict[target] + 1)]
+                    )
+                else:
+                    per_target.append(list(given))
+            return ["_".join(combo) for combo in product(*per_target)]
+
+        target = self.targets[0]
+        given = class_labels_dict.get(target)
+        if given is None:
+            if n_classes_dict is None or target not in n_classes_dict:
+                raise ValueError(
+                    f"Number of classes for target '{target}' is not provided."
+                )
+            return [str(i) for i in range(1, n_classes_dict[target] + 1)]
+        return list(given)

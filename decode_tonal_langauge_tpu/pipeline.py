@@ -1,0 +1,93 @@
+"""YAML pipeline runner — the framework's top-level API.
+
+Same contract as ``/root/reference/main.py:8-72``: run the stages listed
+in ``STAGES`` in fixed order, resolving each stage's ``module`` (default
+function ``run``) through the plugin registry, and thread string results
+(output directories) into downstream stages' ``params.io`` sections.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Any, Dict
+
+from . import registry
+from .config import load_config
+
+STAGES = [
+    "preprocess",
+    "sample_collection",
+    "channel_selection",
+    "training",
+    "evaluation",
+    "visualisation",
+]
+
+
+def run_pipeline(config_path_or_dict) -> Dict[str, str]:
+    """Execute pipeline stages defined in a config file or dict.
+
+    Returns the map of stage -> output directory.
+    """
+    if isinstance(config_path_or_dict, str):
+        config: Dict[str, Any] = load_config(config_path_or_dict)
+    else:
+        config = config_path_or_dict
+    stage_outputs: Dict[str, str] = {}
+
+    for stage in STAGES:
+        stage_cfg = config.get(stage)
+        if not stage_cfg:
+            continue
+
+        module_name = stage_cfg.get("module")
+        func_name = stage_cfg.get("function", "run")
+        if module_name is None:
+            continue
+
+        print(f"----------- Running stage: {stage} -----------")
+
+        update_stage_cfg_io(stage_outputs, stage, stage_cfg)
+        config[stage] = stage_cfg
+
+        module = registry.resolve(module_name)
+        try:
+            func = getattr(module, func_name)
+        except AttributeError:
+            raise ImportError(
+                f"Module '{module_name}' does not have a function '{func_name}'"
+                f"Available functions: {', '.join(dir(module))}"
+            )
+
+        result = func(config)
+        if isinstance(result, str):
+            stage_outputs[stage] = result
+
+    return stage_outputs
+
+
+def update_stage_cfg_io(stage_outputs: dict, stage: str, stage_cfg: dict) -> None:
+    """Thread upstream output dirs into this stage's io params."""
+    if stage == "sample_collection":
+        params_io = stage_cfg.setdefault("params", {}).setdefault("io", {})
+        if "recording_dir" not in params_io and "preprocess" in stage_outputs:
+            params_io["recording_dir"] = stage_outputs["preprocess"]
+    elif stage == "channel_selection":
+        io_cfg = stage_cfg.setdefault("params", {}).setdefault("io", {})
+        if "sample_dir" not in io_cfg and "sample_collection" in stage_outputs:
+            io_cfg["sample_dir"] = stage_outputs["sample_collection"]
+    elif stage == "training":
+        params_io = stage_cfg.setdefault("params", {}).setdefault("io", {})
+        if "sample_dir" not in params_io and "sample_collection" in stage_outputs:
+            params_io["sample_dir"] = stage_outputs["sample_collection"]
+        if (
+            "channel_selection_dir" not in params_io
+            and "channel_selection" in stage_outputs
+        ):
+            params_io["channel_selection_dir"] = stage_outputs["channel_selection"]
+
+
+if __name__ == "__main__":
+    if len(sys.argv) != 2:
+        raise SystemExit("Usage: python -m decode_tonal_langauge_tpu.pipeline <config.yaml>")
+    run_pipeline(sys.argv[1])

@@ -1,0 +1,390 @@
+"""High-level classifier training regimes: separate / joint targets.
+
+Capability parity with ``/root/reference/training/classifier_pipeline.py``:
+
+- **separate** (``:28-209``): one model per target on its own
+  discriminative-channel subset; per-seed split/train/test/predict; joint
+  metrics by combining per-target predictions.
+- **joint** (``:212-340``): a single model on the mixed-radix combined
+  label.
+- ``save_and_plot_results`` (``:343-478``): appended ``results.csv`` rows
+  with ``<metric>_<agg>`` and ``<metric>_all`` columns, confusion-matrix
+  PNG + CSV, joint and per-target.
+
+(The reference's always-on ``torch.autograd.set_detect_anomaly(True)``
+debug flag, ``:34``, has no JAX counterpart and is intentionally absent.)
+"""
+
+from __future__ import annotations
+
+import os
+from argparse import Namespace
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..data.sample_loading import ClassificationSampleHandler
+from ..data.splits import split_indices
+from ..models.factory import get_classifier_by_name
+from ..utils.metrics import (
+    compute_classification_metrics,
+    compute_classification_metrics_joint,
+)
+from ..utils.visualise import plot_confusion_matrix
+from .trainer import ClassifierTrainer
+
+
+def _make_trainer(params: Namespace, model, n_classes: int, seed: int, log_dir):
+    return ClassifierTrainer(
+        model,
+        n_classes=n_classes,
+        learning_rate=params.lr,
+        weight_decay=float(getattr(params, "weight_decay", 0.0)),
+        batch_size=params.batch_size,
+        max_epochs=params.epochs,
+        patience=params.patience,
+        seed=seed,
+        log_dir=log_dir,
+        mesh=getattr(params, "mesh", None),
+        verbose=getattr(params, "verbose", 1) > 1,
+    )
+
+
+def _fit_and_eval(
+    params: Namespace,
+    features: np.ndarray,
+    labels: np.ndarray,
+    n_classes: int,
+    seed: int,
+    log_dir: str,
+) -> Tuple[np.ndarray, np.ndarray, ClassifierTrainer]:
+    """Split, train with early stopping, return (true, preds, trainer)."""
+    tr_idx, va_idx, te_idx = split_indices(
+        features.shape[0],
+        [params.train_ratio, params.vali_ratio, params.test_ratio],
+        seed=seed,
+    )
+    model = get_classifier_by_name(
+        params.model,
+        n_classes=n_classes,
+        n_channels=features.shape[1],
+        seq_length=features.shape[2],
+        classifier_kwargs=getattr(params, "model_kwargs", {}) or {},
+    )
+    trainer = _make_trainer(params, model, n_classes, seed, log_dir)
+    trainer.fit(
+        features[tr_idx], labels[tr_idx], features[va_idx], labels[va_idx]
+    )
+    trainer.test(features[te_idx], labels[te_idx])
+    preds = trainer.predict(features[te_idx])
+    return labels[te_idx], preds, trainer
+
+
+def _maybe_save_checkpoint(
+    params: Namespace, trainer: ClassifierTrainer, target_str: str, seed: int
+) -> None:
+    if not getattr(params, "save_checkpoints", False):
+        return
+    from ..runtime.checkpoint import save_params
+
+    model_dir = os.path.join(params.log_dir, "model_checkpoints")
+    os.makedirs(model_dir, exist_ok=True)
+    save_params(
+        os.path.join(
+            model_dir, f"{target_str}_{params.model_name}_seed_{seed}"
+        ),
+        {"params": trainer.params, "batch_stats": trainer.batch_stats},
+    )
+
+
+def train_separate_targets(
+    params: Namespace, seeds: np.ndarray
+) -> Tuple[Dict, np.ndarray, List[str]]:
+    """Train one classifier per target; combine per-target predictions."""
+    verbose = getattr(params, "verbose", 1)
+
+    all_data: Dict[str, dict] = {}
+    channels: Dict[str, List[int]] = {}
+    n_classes_dict: Dict[str, int] = {}
+    individual_class_labels: Dict[str, List[str]] = {}
+
+    for target in params.targets:
+        target_params = Namespace(**vars(params))
+        target_params.targets = [target]
+        handler = ClassificationSampleHandler(target_params)
+        data = handler.load_data()
+        all_data[target] = data
+        n_classes_dict[target] = data["n_classes_dict"][target]
+        channels[target] = [int(c) for c in data["selected_channels"]]
+        individual_class_labels[target] = handler.prepare_class_labels(
+            {target: data["n_classes_dict"][target]}
+        )
+        if verbose > 0:
+            print(
+                f"Prepared {data['features'].shape[0]} samples with shape "
+                f"{data['features'].shape} for target {target}"
+            )
+
+    class_labels = ClassificationSampleHandler(params).prepare_class_labels(
+        n_classes_dict
+    )
+
+    n_classes = int(np.prod(list(n_classes_dict.values())))
+    metrics = getattr(params, "metrics", ["accuracy"])
+    metric_values: Dict[str, List[float]] = {
+        m: [] for m in metrics if m != "confusion_matrix"
+    }
+    confusion_mat = (
+        np.zeros((n_classes, n_classes)) if "confusion_matrix" in metrics else None
+    )
+    model_size = 0
+
+    individual_metrics = {
+        t: {m: [] for m in metrics if m != "confusion_matrix"}
+        for t in params.targets
+    }
+    individual_confusion_mat = (
+        {
+            t: np.zeros((n_classes_dict[t], n_classes_dict[t]))
+            for t in params.targets
+        }
+        if "confusion_matrix" in metrics
+        else None
+    )
+
+    for i, seed in enumerate(seeds):
+        all_preds: Dict[str, np.ndarray] = {}
+        all_true: Dict[str, np.ndarray] = {}
+
+        for target in params.targets:
+            data = all_data[target]
+            log_dir = os.path.join(
+                params.log_dir,
+                f"{target}_csv",
+                f"subject_{params.subject_id}",
+                f"seed_{seed}",
+            )
+            true, preds, trainer = _fit_and_eval(
+                params,
+                data["features"].astype(np.float32),
+                data["labels"].astype(np.int32),
+                n_classes_dict[target],
+                int(seed),
+                log_dir,
+            )
+            all_true[target] = true
+            all_preds[target] = preds
+            model_size += trainer.n_params()
+            _maybe_save_checkpoint(params, trainer, target, int(seed))
+
+            target_metrics = compute_classification_metrics(
+                true, preds, metrics=metrics
+            )
+            for m in metrics:
+                if m == "confusion_matrix":
+                    continue
+                individual_metrics[target][m].append(target_metrics[m])
+            if (
+                individual_confusion_mat is not None
+                and "confusion_matrix" in target_metrics
+            ):
+                cm = target_metrics["confusion_matrix"]
+                full = individual_confusion_mat[target]
+                full[: cm.shape[0], : cm.shape[1]] += cm
+
+        joint_metrics = compute_classification_metrics_joint(
+            all_true, all_preds, metrics=metrics, verbose=verbose > 1
+        )
+        for m in metrics:
+            if m == "confusion_matrix":
+                continue
+            metric_values[m].append(joint_metrics[m])
+        if confusion_mat is not None and "confusion_matrix" in joint_metrics:
+            cm = joint_metrics["confusion_matrix"]
+            confusion_mat[: cm.shape[0], : cm.shape[1]] += cm
+
+    result_info = {
+        **metric_values,
+        "model_size": model_size,
+        "channels": channels,
+        "seeds": np.asarray(seeds).tolist(),
+        "class_labels": class_labels,
+        "individual_metrics": individual_metrics,
+        "individual_confusion_matrix": individual_confusion_mat,
+        "individual_class_labels": individual_class_labels,
+    }
+    return result_info, confusion_mat, class_labels
+
+
+def train_joint_targets(
+    params: Namespace, seeds: np.ndarray
+) -> Tuple[Dict, np.ndarray, List[str]]:
+    """Train a single model on the mixed-radix combined label."""
+    verbose = getattr(params, "verbose", 1)
+
+    handler = ClassificationSampleHandler(params)
+    data = handler.load_data()
+    features = data["features"].astype(np.float32)
+    labels = data["labels"].astype(np.int32)
+
+    if verbose > 0:
+        print(
+            f"Prepared {features.shape[0]} samples with shape {features.shape} "
+            f"and labels with shape {labels.shape}"
+        )
+
+    n_classes = len(np.unique(labels))
+    class_labels = handler.prepare_class_labels(data["n_classes_dict"])
+
+    metrics = getattr(params, "metrics", ["accuracy"])
+    metric_values: Dict[str, List[float]] = {
+        m: [] for m in metrics if m != "confusion_matrix"
+    }
+    confusion_mat = (
+        np.zeros((n_classes, n_classes)) if "confusion_matrix" in metrics else None
+    )
+    model_size = 0
+
+    target_name = (
+        "_".join(params.targets) if len(params.targets) > 1 else params.targets[0]
+    )
+
+    for seed in seeds:
+        log_dir = os.path.join(
+            params.log_dir,
+            f"{target_name}_csv",
+            f"subject_{params.subject_id}",
+            f"seed_{seed}",
+        )
+        true, preds, trainer = _fit_and_eval(
+            params, features, labels, n_classes, int(seed), log_dir
+        )
+        model_size = trainer.n_params()
+        _maybe_save_checkpoint(params, trainer, target_name, int(seed))
+
+        joint_metrics = compute_classification_metrics(
+            true, preds, metrics=metrics, verbose=verbose > 1
+        )
+        if confusion_mat is not None and "confusion_matrix" in joint_metrics:
+            cm = joint_metrics["confusion_matrix"]
+            confusion_mat[: cm.shape[0], : cm.shape[1]] += cm
+        for m in metrics:
+            if m == "confusion_matrix":
+                continue
+            metric_values[m].append(joint_metrics[m])
+
+    result_info = {
+        **metric_values,
+        "model_size": model_size,
+        "channels": [int(c) for c in data["selected_channels"]],
+        "class_labels": class_labels,
+        "seeds": np.asarray(seeds).tolist(),
+    }
+    return result_info, confusion_mat, class_labels
+
+
+def save_and_plot_results(
+    params: Namespace,
+    result_info: Dict,
+    confusion_matrix: np.ndarray,
+    class_labels: List[str],
+) -> None:
+    """Append result rows to results.csv and write confusion figures."""
+    metrics = getattr(params, "metrics", ["accuracy"])
+    aggregates = getattr(params, "aggregates", ["mean", "std"])
+    if isinstance(aggregates, str):
+        aggregates = [aggregates]
+
+    joint_label = ", ".join(getattr(params, "targets", []))
+
+    def _norm_channel_list(chs) -> List[int]:
+        if chs is None:
+            return []
+        return sorted({int(c) for c in chs})
+
+    def _channels_for(target_label: str) -> str:
+        chs_info = result_info.get("channels", [])
+        if isinstance(chs_info, (list, tuple, np.ndarray)):
+            return ",".join(map(str, _norm_channel_list(chs_info)))
+        if isinstance(chs_info, dict):
+            if target_label == joint_label:
+                union: set = set()
+                for t in getattr(params, "targets", []):
+                    union.update(int(c) for c in chs_info.get(str(t), []))
+                return ",".join(map(str, sorted(union)))
+            return ",".join(map(str, _norm_channel_list(chs_info.get(str(target_label), []))))
+        return ""
+
+    def _build_row(metric_dict: Dict[str, list], target_label: str) -> dict:
+        row = {
+            "model_name": params.model_name,
+            "model_size": result_info.get("model_size"),
+            "subject": params.subject_id,
+            "target": target_label,
+            "channels": _channels_for(target_label),
+            "seeds": str(result_info.get("seeds")),
+        }
+        for m in metrics:
+            if m == "confusion_matrix":
+                continue
+            values = metric_dict.get(m, [])
+            for agg in aggregates:
+                agg_func = getattr(np, agg, None)
+                if agg_func is None:
+                    raise ValueError(
+                        f"Aggregate function '{agg}' is not recognized in numpy. "
+                        "Please change evaluation.aggregates parameter."
+                    )
+                row[f"{m}_{agg}"] = float(agg_func(values)) if len(values) else np.nan
+            row[f"{m}_all"] = str(list(values))
+        return row
+
+    rows = [_build_row(
+        {m: result_info[m] for m in metrics if m != "confusion_matrix"},
+        joint_label,
+    )]
+    for target, metrics_dict in result_info.get("individual_metrics", {}).items():
+        rows.append(_build_row(metrics_dict, str(target)))
+
+    df = pd.DataFrame(rows)
+    result_path = os.path.join(params.log_dir, "results.csv")
+    if os.path.exists(result_path):
+        df.to_csv(result_path, mode="a", header=False, index=False)
+    else:
+        df.to_csv(result_path, index=False)
+    print(f"Results saved to {result_path}")
+
+    figure_dir = os.path.join(params.log_dir, f"figures/subject_{params.subject_id}")
+    os.makedirs(figure_dir, exist_ok=True)
+    cm_dir = os.path.join(
+        params.log_dir, f"confusion_matrices/subject_{params.subject_id}"
+    )
+    os.makedirs(cm_dir, exist_ok=True)
+
+    if confusion_matrix is not None and "confusion_matrix" in metrics:
+        plot_confusion_matrix(
+            confusion_matrix,
+            add_numbers=confusion_matrix.shape[0] <= 10,
+            label_names=class_labels,
+            figure_path=os.path.join(figure_dir, "confusion_matrix.png"),
+        )
+        pd.DataFrame(confusion_matrix).to_csv(
+            os.path.join(cm_dir, "confusion_matrix.csv"), index=False
+        )
+
+    for target, cm in (result_info.get("individual_confusion_matrix") or {}).items():
+        if cm is None:
+            continue
+        target_class_labels = result_info.get("individual_class_labels", {}).get(
+            target, class_labels
+        )
+        plot_confusion_matrix(
+            cm,
+            add_numbers=cm.shape[0] <= 10,
+            label_names=target_class_labels,
+            figure_path=os.path.join(figure_dir, f"confusion_matrix_{target}.png"),
+        )
+        pd.DataFrame(cm).to_csv(
+            os.path.join(cm_dir, f"confusion_matrix_{target}.csv"), index=False
+        )

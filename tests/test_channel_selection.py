@@ -16,19 +16,21 @@ def _dataset(rng, n_channels=12, t=100, sf=100.0):
     """ERP/rest dataset with known active + discriminative channels."""
     rest = rng.standard_normal((20, n_channels, t)).astype(np.float32)
     erp = rng.standard_normal((40, n_channels, t)).astype(np.float32)
+    # Balanced crossed design: every (tone, syllable) pair appears equally
+    # often, so tone grouping is orthogonal to the syllable effect.
     tones = np.tile(np.arange(4), 10)
-    sylls = np.tile(np.arange(2), 20)
+    sylls = np.tile(np.repeat(np.arange(2), 4), 5)
 
-    active_set = [0, 1, 2, 3, 4, 5]
-    tone_set = [0, 1]
-    syll_set = [2, 3]
+    active_set = [ch for ch in (0, 1, 2, 3, 4, 5) if ch < n_channels]
+    tone_set = [ch for ch in (0, 1) if ch < n_channels]
+    syll_set = [ch for ch in (2, 3) if ch < n_channels]
 
     for ch in active_set:
         erp[:, ch, 20:80] += 2.0  # event-locked offset
     for ch in tone_set:
         erp[:, ch, 30:70] += tones[:, None] * 1.5
     for ch in syll_set:
-        erp[:, ch, 30:70] += sylls[:, None] * 2.0
+        erp[:, ch, 30:70] += sylls[:, None] * 2.5
 
     return {
         "ecog": erp,
