@@ -36,7 +36,10 @@ def hz_to_mel(f: np.ndarray) -> np.ndarray:
     min_log_hz = 1000.0
     min_log_mel = min_log_hz / f_sp
     logstep = np.log(6.4) / 27.0
-    return np.where(f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, mels)
+    safe = np.maximum(f, 1e-10)
+    return np.where(
+        f >= min_log_hz, min_log_mel + np.log(safe / min_log_hz) / logstep, mels
+    )
 
 
 def mel_to_hz(m: np.ndarray) -> np.ndarray:
@@ -129,6 +132,9 @@ def istft(
 
     y = y[n_fft // 2 : total - n_fft // 2]
     if length is not None:
+        if y.shape[0] < length:
+            # The analysis dropped a partial tail frame; zero-fill it.
+            y = jnp.pad(y, (0, length - y.shape[0]))
         y = y[:length]
     return y
 
