@@ -65,6 +65,13 @@ def _fit_and_eval(
         [params.train_ratio, params.vali_ratio, params.test_ratio],
         seed=seed,
     )
+    if getattr(params, "standardize", False):
+        # Optional per-feature standardisation fit on the train split.
+        # (No reference counterpart; stabilises adaptive optimizers on
+        # positive-mean envelope features.)
+        mu = features[tr_idx].mean(axis=0, keepdims=True)
+        sd = features[tr_idx].std(axis=0, keepdims=True) + 1e-6
+        features = (features - mu) / sd
     model = get_classifier_by_name(
         params.model,
         n_classes=n_classes,

@@ -1,0 +1,259 @@
+"""Synthesis trainer: classifier-predicted label dynamics + ECoG -> mel.
+
+Capability parity with ``/root/reference/models/synthesis_trainer.py``:
+NAdam (the reference passes ``schedule_decay`` as weight decay — mirrored),
+L1 loss on mel vectors, per-batch tone/syllable prediction feeding
+label-dynamics sequences, MCD tracking, ``evaluate`` returning
+(mcd, recon_mels, origin_mels).
+
+TPU-native differences:
+- the reference's per-batch GPU->CPU->GPU ``prepare_tone_dynamics`` round
+  trip (``synthesis_trainer.py:212-218``) becomes an on-device gather
+  from a precomputed (tone -> contour) table inside the jitted step;
+- the reference's ``targets.long()`` truncation of float mel targets
+  (``synthesis_trainer.py:222``, a bug) is NOT replicated;
+- "training" the classifiers jointly is not supported: in the reference
+  the optimizer only holds synthesis-model parameters and argmax blocks
+  gradients, so ``train_classifiers=True`` never updated them anyway.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.utils import tone_dynamics_table
+from .optim import nadam_with_decay_groups
+from .trainer import _stack_batches
+
+
+def compute_mcd(true_mcc: np.ndarray, pred_mcc: np.ndarray) -> float:
+    """Mel-Cepstral Distortion (dB), batch mean — the reference formula
+    ``mean(10/ln10 * sqrt(2 * sum((t-p)^2, -1)))``."""
+    true_mcc = np.asarray(true_mcc, dtype=np.float32)
+    pred_mcc = np.asarray(pred_mcc, dtype=np.float32)
+    sq = ((true_mcc - pred_mcc) ** 2).sum(axis=1)
+    return float(np.mean(10.0 / np.log(10.0) * np.sqrt(2.0 * sq)))
+
+
+def _mcd_jnp(true_mcc, pred_mcc, w):
+    sq = ((true_mcc - pred_mcc) ** 2).sum(axis=1)
+    vals = 10.0 / jnp.log(10.0) * jnp.sqrt(2.0 * sq)
+    return (vals * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
+class SynthesisTrainer:
+    """Trains a synthesis model using frozen tone/syllable classifiers."""
+
+    def __init__(
+        self,
+        synthesis_model,
+        tone_model,
+        tone_variables,
+        syllable_model,
+        syllable_variables,
+        tone_dynamic_mapping: Dict[str, List[int]],
+        learning_rate: float = 5e-4,
+        beta_1: float = 0.9,
+        beta_2: float = 0.999,
+        epsilon: float = 1e-8,
+        schedule_decay: float = 0.004,
+        seed: int = 0,
+        verbose: bool = True,
+    ) -> None:
+        self.model = synthesis_model
+        self.tone_model = tone_model
+        self.tone_variables = tone_variables
+        self.syllable_model = syllable_model
+        self.syllable_variables = syllable_variables
+        self.seed = seed
+        self.verbose = verbose
+
+        table, _ = tone_dynamics_table(tone_dynamic_mapping)
+        self.dynamics_table = jnp.asarray(table, dtype=jnp.float32)
+
+        self.optimizer = optax.chain(
+            optax.add_decayed_weights(
+                schedule_decay,
+                mask=lambda params: jax.tree_util.tree_map(
+                    lambda p: p.ndim >= 2, params
+                ),
+            ),
+            optax.nadam(learning_rate, b1=beta_1, b2=beta_2, eps=epsilon),
+        )
+
+        self.params = None
+        self.batch_stats: dict = {}
+        self._has_bn = False
+        self.opt_state = None
+
+    # ------------------------------------------------------------------
+    def init(self, ecog_non: np.ndarray, n_dynamics: int) -> None:
+        rngs = {"params": jax.random.key(self.seed), "dropout": jax.random.key(1)}
+        labels0 = jnp.zeros((1, 2, n_dynamics), dtype=jnp.float32)
+        variables = self.model.init(
+            rngs, jnp.asarray(ecog_non[:1]), labels0, train=False
+        )
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self._has_bn = "batch_stats" in variables
+        self.opt_state = self.optimizer.init(self.params)
+
+    def n_params(self) -> int:
+        return int(
+            sum(np.size(leaf) for leaf in jax.tree_util.tree_leaves(self.params))
+        )
+
+    # ------------------------------------------------------------------
+    def _predict_labels(self, x_tone, x_syll):
+        """Frozen classifier predictions -> on-device label dynamics."""
+        tone_out = self.tone_model.apply(self.tone_variables, x_tone, train=False)
+        syll_out = self.syllable_model.apply(
+            self.syllable_variables, x_syll, train=False
+        )
+        tones = jnp.argmax(tone_out, axis=1)
+        sylls = jnp.argmax(syll_out, axis=1)
+        contour = self.dynamics_table[tones]  # (B, n_dynamics)
+        syll_seq = jnp.broadcast_to(
+            sylls[:, None].astype(jnp.float32), contour.shape
+        )
+        return jnp.stack([syll_seq, contour], axis=1)  # (B, 2, n_dynamics)
+
+    def _apply_model(self, params, batch_stats, ecog, labels, train, rng):
+        variables = {"params": params}
+        if self._has_bn:
+            variables["batch_stats"] = batch_stats
+        if train:
+            out, updates = self.model.apply(
+                variables,
+                ecog,
+                labels,
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"] if self._has_bn else [],
+            )
+            new_bs = (
+                updates.get("batch_stats", batch_stats) if self._has_bn else batch_stats
+            )
+            return out, new_bs
+        return self.model.apply(variables, ecog, labels, train=False), batch_stats
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _train_epoch(self, params, batch_stats, opt_state, rng, batches):
+        def step(carry, batch):
+            params, batch_stats, opt_state, rng = carry
+            x_non, x_syll, x_tone, targets, w = batch
+            rng, dropout_rng = jax.random.split(rng)
+            labels = self._predict_labels(x_tone, x_syll)
+
+            def loss_fn(p, bs):
+                out, new_bs = self._apply_model(
+                    p, bs, x_non, labels, True, dropout_rng
+                )
+                l1 = jnp.abs(out - targets).mean(axis=1)
+                loss = (l1 * w).sum() / jnp.maximum(w.sum(), 1.0)
+                mcd = _mcd_jnp(targets, out, w)
+                return loss, (new_bs, mcd)
+
+            (loss, (new_bs, mcd)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batch_stats)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_bs, opt_state, rng), (loss, mcd)
+
+        (params, batch_stats, opt_state, rng), (losses, mcds) = jax.lax.scan(
+            step, (params, batch_stats, opt_state, rng), batches
+        )
+        return params, batch_stats, opt_state, rng, losses.mean(), mcds.mean()
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _eval_epoch(self, params, batch_stats, batches):
+        def step(_, batch):
+            x_non, x_syll, x_tone, targets, w = batch
+            labels = self._predict_labels(x_tone, x_syll)
+            out, _ = self._apply_model(params, batch_stats, x_non, labels, False, None)
+            mcd = _mcd_jnp(targets, out, w)
+            return None, (mcd, out)
+
+        _, (mcds, outs) = jax.lax.scan(step, None, batches)
+        return mcds.mean(), outs
+
+    # ------------------------------------------------------------------
+    def _stack(self, data, batch_size):
+        """data: (x_non, x_syll, x_tone, mels) -> padded batch stacks."""
+        x_non, x_syll, x_tone, mels = data
+        n = x_non.shape[0]
+        _, _, w = _stack_batches(
+            np.zeros((n, 1)), np.zeros(n, dtype=np.int32), batch_size
+        )
+
+        def stack(arr):
+            pad = w.size - n
+            if pad:
+                arr = np.concatenate([arr, np.repeat(arr[:1], pad, axis=0)], axis=0)
+            return arr.reshape((w.shape[0], w.shape[1]) + arr.shape[1:])
+
+        return (
+            stack(x_non.astype(np.float32)),
+            stack(x_syll.astype(np.float32)),
+            stack(x_tone.astype(np.float32)),
+            stack(mels.astype(np.float32)),
+            w,
+        )
+
+    def train(
+        self,
+        train_data: Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
+        epochs: int,
+        batch_size: int = 8,
+        verbose: bool = True,
+    ) -> List[Tuple[float, float]]:
+        """Returns a history of (epoch_loss, epoch_mcd)."""
+        if self.params is None:
+            n_dynamics = self.dynamics_table.shape[1]
+            self.init(train_data[0], n_dynamics)
+
+        rng = jax.random.key(self.seed)
+        data_rng = np.random.default_rng(self.seed)
+        n = train_data[0].shape[0]
+
+        history = []
+        for epoch in range(epochs):
+            order = data_rng.permutation(n)
+            shuffled = tuple(arr[order] for arr in train_data)
+            batches = self._stack(shuffled, batch_size)
+            (
+                self.params,
+                self.batch_stats,
+                self.opt_state,
+                rng,
+                loss,
+                mcd,
+            ) = self._train_epoch(
+                self.params, self.batch_stats, self.opt_state, rng, batches
+            )
+            history.append((float(loss), float(mcd)))
+            if verbose:
+                print(
+                    f"Epoch {epoch + 1}/{epochs}, Loss: {float(loss):.4f}, "
+                    f"Mean MCD: {float(mcd):.4f}"
+                )
+        return history
+
+    def evaluate(
+        self,
+        test_data: Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
+        batch_size: int = 8,
+    ) -> Tuple[float, np.ndarray, np.ndarray]:
+        """Returns (mcd, recon_mels, origin_mels)."""
+        batches = self._stack(test_data, batch_size)
+        mcd, outs = self._eval_epoch(self.params, self.batch_stats, batches)
+        n = test_data[0].shape[0]
+        recon = np.asarray(outs).reshape((-1,) + outs.shape[2:])[:n]
+        return float(mcd), recon, np.asarray(test_data[3])

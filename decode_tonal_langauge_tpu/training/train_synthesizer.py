@@ -1,0 +1,297 @@
+"""Synthesizer training CLI.
+
+Argparse-driven entry with the reference's flag surface and outputs
+(``/root/reference/train_synthesizer.py``): channel JSON -> non-
+discriminative / syllable / tone channel subsets, per-trial audio -> mel,
+classifier zoo by name (CNN / ShallowNN / logistic / CNNRNN) with optional
+pretrained checkpoints, repeat-seeded train/eval, appended results CSV,
+loss curves, and N reconstructed WAVs via Griffin-Lim with side-by-side
+mel figures.
+
+Config JSON keys (as in the reference): ``mel_kwargs``,
+``tone_dynamic_mapping``, ``n_syllables``, ``n_tones``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..data.splits import split_indices
+from ..data.utils import select_non_discriminative_channels
+from ..models.deep import CNNClassifier, CNNRNNClassifier
+from ..models.simple import LogisticRegressionClassifier, ShallowNNClassifier
+from ..models.synthesis import SynthesisLite, SynthesisModelCNN
+from ..utils.audio import audio_to_mel, compare_mels, mel_to_audio, write_wav
+from ..utils.visualise import plot_training_losses
+from .synthesis_trainer import SynthesisTrainer
+
+SYNTHESIS_MODELS = ["SynthesisLite", "SynthesisFull"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Train an audio synthesizer on ECoG data."
+    )
+    # ----- I/O -----
+    parser.add_argument("--sample_path", type=str, required=True)
+    parser.add_argument("--subject_id", type=str, required=True)
+    parser.add_argument("--result_file", type=str, required=True)
+    parser.add_argument("--figure_dir", type=str, default=None)
+    parser.add_argument("--audio_dir", type=str, default=None)
+    parser.add_argument("--channel_file", type=str, default="channel_selections.json")
+    parser.add_argument("--config_file", type=str, default="config.json")
+    parser.add_argument("--model_name", type=str, required=True)
+    parser.add_argument("--syllable_model_path", type=str, default=None)
+    parser.add_argument("--tone_model_path", type=str, default=None)
+    parser.add_argument("--synthesis_model_name", type=str, required=True)
+    parser.add_argument("--syllable_model_name", type=str, required=True)
+    parser.add_argument("--tone_model_name", type=str, required=True)
+    # ----- Audio -----
+    parser.add_argument("--audio_sampling_rate", type=int, default=24414)
+    # ----- Experiment -----
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--repeat", type=int, default=1)
+    parser.add_argument("--verbose", type=int, default=1)
+    # ----- Training -----
+    parser.add_argument("--train_ratio", type=float, default=0.9)
+    parser.add_argument("--device", type=str, default="tpu")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--epochs", type=int, default=100)
+    parser.add_argument("--lr", type=float, default=0.0005)
+    return parser
+
+
+def build_classifier(
+    name: str,
+    n_classes: int,
+    n_channels: int,
+    seq_length: int,
+):
+    """Classifier zoo by short name (reference's dispatch,
+    ``train_synthesizer.py:210-273``)."""
+    if name == "CNN":
+        return CNNClassifier(
+            input_channels=n_channels, input_length=seq_length, n_classes=n_classes
+        )
+    if name == "ShallowNN":
+        return ShallowNNClassifier(
+            input_dim=n_channels * seq_length, n_classes=n_classes
+        )
+    if name == "logistic":
+        return LogisticRegressionClassifier(
+            input_dim=n_channels * seq_length, n_classes=n_classes
+        )
+    if name == "CNNRNN":
+        return CNNRNNClassifier(
+            input_channels=n_channels, input_length=seq_length, n_classes=n_classes
+        )
+    raise ValueError(
+        f"Unknown classifier name '{name}'; expected CNN/ShallowNN/logistic/CNNRNN."
+    )
+
+
+def build_synthesis_model(
+    name: str, output_dim: int, n_channels: int, n_timepoints: int
+):
+    if name == "SynthesisFull":
+        return SynthesisModelCNN(
+            output_dim=output_dim, n_channels=n_channels, n_timepoints=n_timepoints
+        )
+    if name == "SynthesisLite":
+        return SynthesisLite(
+            output_dim=output_dim, n_channels=n_channels, n_timepoints=n_timepoints
+        )
+    raise ValueError(
+        f"Unknown synthesis model '{name}'; expected one of {SYNTHESIS_MODELS}."
+    )
+
+
+def _init_classifier_variables(model, sample: np.ndarray, path: Optional[str], seed=0):
+    import jax
+
+    variables = model.init(
+        {"params": jax.random.key(seed)}, np.asarray(sample[:1]), train=False
+    )
+    if path:
+        from ..runtime.checkpoint import load_params
+
+        restored = load_params(path)
+        variables = {**variables, **restored}
+    return variables
+
+
+def run(params: argparse.Namespace) -> dict:
+    """Train the synthesizer; returns a summary dict (also appended to CSV)."""
+    if not os.path.exists(params.sample_path):
+        raise FileNotFoundError(f"Data file '{params.sample_path}' does not exist.")
+
+    for d in (params.figure_dir, params.audio_dir):
+        if d:
+            os.makedirs(d, exist_ok=True)
+    result_dir = os.path.dirname(params.result_file)
+    if result_dir:
+        os.makedirs(result_dir, exist_ok=True)
+
+    with open(params.channel_file, "r") as f:
+        channel_selections = json.load(f)
+
+    non_discriminative_channels = select_non_discriminative_channels(
+        channel_selections, ["tone_discriminative", "syllable_discriminative"]
+    )
+    if params.verbose > 0:
+        print(
+            f"Found {len(non_discriminative_channels)} non-discriminative channels."
+        )
+
+    with open(params.config_file, "r") as f:
+        config = json.load(f)
+    mel_kwargs = config["mel_kwargs"]
+    tone_dynamic_mapping = config["tone_dynamic_mapping"]
+    n_syllables = config["n_syllables"]
+    n_tones = config["n_tones"]
+
+    dataset = np.load(params.sample_path)
+    ecog_samples = dataset["ecog"]
+    ecog_non = ecog_samples[:, non_discriminative_channels, :]
+    ecog_syllables = ecog_samples[:, channel_selections["syllable_discriminative"], :]
+    ecog_tones = ecog_samples[:, channel_selections["tone_discriminative"], :]
+    audios = dataset["audio"]
+
+    mels = np.stack(
+        [
+            audio_to_mel(audio, params.audio_sampling_rate, mel_kwargs=mel_kwargs)
+            for audio in audios
+        ]
+    )
+    if params.verbose > 0:
+        print("Number of Mel spectrogram coefficients", mels.shape[1:])
+
+    n_timepoints = ecog_non.shape[2]
+
+    syllable_model = build_classifier(
+        params.syllable_model_name, n_syllables, ecog_syllables.shape[1], n_timepoints
+    )
+    tone_model = build_classifier(
+        params.tone_model_name, n_tones, ecog_tones.shape[1], n_timepoints
+    )
+    syllable_variables = _init_classifier_variables(
+        syllable_model, ecog_syllables, params.syllable_model_path
+    )
+    tone_variables = _init_classifier_variables(
+        tone_model, ecog_tones, params.tone_model_path
+    )
+
+    rng = np.random.default_rng(params.seed)
+    seeds = rng.integers(0, 10000, params.repeat)
+
+    rows = []
+    mcds = []
+    last = None
+    for seed in seeds:
+        tr_idx, te_idx = split_indices(
+            ecog_non.shape[0],
+            [params.train_ratio, 1.0 - params.train_ratio],
+            seed=int(seed),
+        )
+
+        synthesis_model = build_synthesis_model(
+            params.synthesis_model_name, mels.shape[1], ecog_non.shape[1], n_timepoints
+        )
+        trainer = SynthesisTrainer(
+            synthesis_model,
+            tone_model,
+            tone_variables,
+            syllable_model,
+            syllable_variables,
+            tone_dynamic_mapping,
+            learning_rate=params.lr,
+            seed=int(seed),
+            verbose=params.verbose > 0,
+        )
+
+        train_data = tuple(
+            arr[tr_idx] for arr in (ecog_non, ecog_syllables, ecog_tones, mels)
+        )
+        test_data = tuple(
+            arr[te_idx] for arr in (ecog_non, ecog_syllables, ecog_tones, mels)
+        )
+
+        history = trainer.train(
+            train_data,
+            epochs=params.epochs,
+            batch_size=params.batch_size,
+            verbose=params.verbose > 1,
+        )
+        mcd, recon_mels, origin_mels = trainer.evaluate(
+            test_data, batch_size=params.batch_size
+        )
+        mcds.append(mcd)
+        last = (history, recon_mels, origin_mels)
+        if params.verbose > 0:
+            print(f"Seed {seed}: test MCD = {mcd:.4f}")
+
+    summary = {
+        "model_name": params.model_name,
+        "synthesis_model": params.synthesis_model_name,
+        "subject": params.subject_id,
+        "model_size": trainer.n_params(),
+        "seeds": str(list(map(int, seeds))),
+        "mcd_mean": float(np.mean(mcds)),
+        "mcd_std": float(np.std(mcds)),
+        "mcd_all": str([float(m) for m in mcds]),
+    }
+
+    import pandas as pd
+
+    df = pd.DataFrame([summary])
+    if os.path.exists(params.result_file):
+        df.to_csv(params.result_file, mode="a", header=False, index=False)
+    else:
+        df.to_csv(params.result_file, index=False)
+
+    history, recon_mels, origin_mels = last
+    n_mels = mel_kwargs.get("n_mels", 128)
+
+    if params.figure_dir:
+        plot_training_losses(
+            history,
+            labels=("L1 loss", "MCD"),
+            figure_path=os.path.join(params.figure_dir, "training_losses.png"),
+        )
+
+    n_waves = min(10, recon_mels.shape[0])
+    for i in range(n_waves):
+        if params.figure_dir:
+            compare_mels(
+                origin_mels[i].reshape(n_mels, -1),
+                recon_mels[i].reshape(n_mels, -1),
+                audio_sampling_rate=params.audio_sampling_rate,
+                title1="Original",
+                title2="Reconstruction",
+                file_path=os.path.join(params.figure_dir, f"mel_compare_{i}.png"),
+            )
+        if params.audio_dir:
+            for tag, mel in (("origin", origin_mels[i]), ("recon", recon_mels[i])):
+                wave = mel_to_audio(
+                    mel,
+                    n_mels=n_mels,
+                    audio_sampling_rate=params.audio_sampling_rate,
+                    n_fft=mel_kwargs.get("n_fft", 2048),
+                    hop_length=mel_kwargs.get("hop_length", 512),
+                )
+                write_wav(
+                    os.path.join(params.audio_dir, f"{tag}_{i}.wav"),
+                    wave,
+                    params.audio_sampling_rate,
+                )
+
+    return summary
+
+
+if __name__ == "__main__":
+    run(build_parser().parse_args())

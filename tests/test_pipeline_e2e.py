@@ -1,0 +1,218 @@
+"""Full-pipeline integration test: synthetic raw recordings -> preprocess ->
+sample collection -> channel selection -> classifier training, driven by
+one YAML-shaped config through the pipeline runner (the reference's
+``main.py`` usage)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from decode_tonal_langauge_tpu.data.synthetic import SyntheticSpec, write_subject
+from decode_tonal_langauge_tpu.pipeline import run_pipeline
+
+
+def _pipeline_config(tmp_path):
+    return {
+        "dataset": {
+            "syllable_labels": ["mi", "ma"],
+            "tone_labels": ["tone1", "tone2", "tone3", "tone4"],
+        },
+        "preprocess": {
+            "module": "preprocess_main",
+            "params": {
+                "pipeline": {
+                    "module": "preprocess.pipelines.subject_block",
+                    "params": {
+                        "subject_dirs": ["Sub1"],
+                        "subject_ids": [1],
+                        "figures": False,
+                    },
+                },
+                "io": {
+                    "module": "preprocess.io.npz_blocks",
+                    "params": {
+                        "root_dir": str(tmp_path / "raw"),
+                        "output_dir": str(tmp_path / "processed"),
+                    },
+                },
+                "preprocessor": {"module": "preprocess.preprocessor"},
+                "modalities": {
+                    "ecog": {
+                        "type": "signal",
+                        "preprocessing": {
+                            "steps": [
+                                {
+                                    "module": "preprocess.frequency_filter",
+                                    "params": {
+                                        "bands": [
+                                            {
+                                                "method": "hilbert",
+                                                "params": {
+                                                    "freq_ranges": [70, 120],
+                                                    "envelope": True,
+                                                },
+                                            }
+                                        ]
+                                    },
+                                },
+                                {
+                                    "module": "preprocess.zscore_rereference",
+                                    "params": {"rereference_interval": [0.0, 5.0]},
+                                },
+                            ]
+                        },
+                    },
+                    "audio": {"type": "signal"},
+                },
+            },
+        },
+        "sample_collection": {
+            "module": "extract_samples",
+            "params": {
+                "io": {
+                    "output_dir": str(tmp_path / "samples"),
+                    "textgrid_root": str(tmp_path / "raw"),
+                    "figures": False,
+                },
+                "subjects": {
+                    1: {
+                        "start_offset": 0.1,
+                        "sample_length": 0.4,
+                        "rest_period": [0.0, 5.0],
+                        "textgrid_dir": "annotations/subject_1",
+                        "tier_list": ["success"],
+                    }
+                },
+                "settings": {"syllable_identifiers": ["i", "a"]},
+            },
+        },
+        "channel_selection": {
+            "module": "channel_selection_main",
+            "params": {
+                "io": {
+                    "output_dir": str(tmp_path / "selection"),
+                    "figures": False,
+                },
+                "selections": [
+                    {
+                        "module": "channel_selection.active",
+                        "selection_name": "active_channels",
+                        "params": {
+                            "p_threshold": 0.05,
+                            "active_time_threshold": 0.05,
+                            "rest_name": "ecog_rest",
+                            "erp_name": "ecog",
+                        },
+                    },
+                    {
+                        "module": "channel_selection.discriminative",
+                        "selection_name": "tone_discriminative",
+                        "params": {
+                            "p_threshold": 0.05,
+                            "active_time_threshold": 0.05,
+                            "label": "tone",
+                            "recording_name": "ecog",
+                        },
+                    },
+                    {
+                        "module": "channel_selection.discriminative",
+                        "selection_name": "syllable_discriminative",
+                        "params": {
+                            "p_threshold": 0.05,
+                            "active_time_threshold": 0.05,
+                            "label": "syllable",
+                            "recording_name": "ecog",
+                        },
+                    },
+                ],
+            },
+        },
+        "model": {
+            "model": "models.simple_classifiers.LogisticRegressionClassifier",
+            "model_name": "logistic",
+            "model_kwargs": {},
+        },
+        "training": {
+            "module": "train_classifier",
+            "params": {
+                "io": {"log_dir": str(tmp_path / "logs")},
+                "experiment": {
+                    "targets": ["syllable", "tone"],
+                    "features": "ecog",
+                    "separate_models": True,
+                    "seed": 42,
+                    "repeat": 1,
+                    "verbose": 0,
+                    "subject_ids": None,
+                },
+                "training": {
+                    "train_ratio": 0.7,
+                    "vali_ratio": 0.1,
+                    "test_ratio": 0.2,
+                    "batch_size": 16,
+                    "epochs": 60,
+                    "lr": 0.0005,
+                    "patience": 60,
+                    "weight_decay": 0.01,
+                    "standardize": True,
+                },
+            },
+        },
+        "evaluation": {
+            "metrics": ["accuracy", "f1_score", "confusion_matrix"],
+            "metric_aggregates": ["mean", "std"],
+        },
+    }
+
+
+def test_full_pipeline(tmp_path):
+    spec = SyntheticSpec(
+        n_channels=12,
+        n_blocks=2,
+        trials_per_block=48,
+        ecog_sf=400.0,
+        audio_sf=800.0,
+        active_channels=tuple(range(8)),
+        tone_channels=(0, 1, 2, 3),
+        syllable_channels=(4, 5, 6, 7),
+    )
+    write_subject(str(tmp_path / "raw"), 1, spec)
+
+    config = _pipeline_config(tmp_path)
+    outputs = run_pipeline(config)
+
+    # every stage produced an output dir and threaded it downstream
+    for stage in ("preprocess", "sample_collection", "channel_selection", "training"):
+        assert stage in outputs, f"stage {stage} produced no output"
+        assert os.path.exists(outputs[stage])
+
+    # sample npz exists with the expected schema
+    samples = np.load(
+        os.path.join(outputs["sample_collection"], "subject_1.npz")
+    )
+    n = 2 * spec.trials_per_block
+    assert samples["ecog"].shape[0] == n
+    assert samples["tone"].min() == 0
+
+    # channel selection found the planted discriminative channels
+    import json
+
+    with open(os.path.join(outputs["channel_selection"], "subject_1.json")) as f:
+        sel = json.load(f)
+    assert len(sel["active_channels"]) > 0
+    assert set(sel["tone_discriminative"]) & {0, 1, 2, 3}
+    assert set(sel["syllable_discriminative"]) & {4, 5, 6, 7}
+
+    # training wrote results.csv with joint + per-target rows
+    results = pd.read_csv(os.path.join(outputs["training"], "results.csv"))
+    assert len(results) == 3  # joint + syllable + tone
+    joint = results.iloc[0]
+    assert joint["target"] == "syllable, tone"
+    # the synthetic labels are linearly decodable from the planted channels
+    per_target = results.set_index("target")
+    assert per_target.loc["syllable", "accuracy_mean"] > 0.65
+    assert os.path.exists(
+        os.path.join(outputs["training"], "figures/subject_1/confusion_matrix.png")
+    )
+    assert os.path.exists(os.path.join(outputs["training"], "config.yaml"))

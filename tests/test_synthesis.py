@@ -1,0 +1,156 @@
+"""Synthesis-path tests: MCD, trainer convergence, and the CLI end-to-end
+on a small synthetic sample set."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from decode_tonal_langauge_tpu.models.simple import LogisticRegressionClassifier
+from decode_tonal_langauge_tpu.models.synthesis import SynthesisLite
+from decode_tonal_langauge_tpu.training import train_synthesizer
+from decode_tonal_langauge_tpu.training.synthesis_trainer import (
+    SynthesisTrainer,
+    compute_mcd,
+)
+
+TONE_MAPPING = {"0": [5, 5, 5], "1": [3, 4, 5], "2": [3, 2, 3], "3": [5, 3, 1]}
+
+
+def test_compute_mcd_formula():
+    true = np.zeros((2, 4))
+    pred = np.ones((2, 4))
+    expected = 10 / np.log(10) * np.sqrt(2 * 4.0)
+    assert compute_mcd(true, pred) == pytest.approx(expected, rel=1e-5)
+
+
+def _toy_synthesis_data(rng, n=48, c_non=5, c_cls=3, t=64, out_dim=32):
+    tones = rng.integers(0, 4, n)
+    sylls = rng.integers(0, 2, n)
+    ecog_non = rng.standard_normal((n, c_non, t)).astype(np.float32)
+    ecog_syll = rng.standard_normal((n, c_cls, t)).astype(np.float32)
+    ecog_tone = rng.standard_normal((n, c_cls, t)).astype(np.float32)
+    # classifier channels encode the label
+    ecog_tone += tones[:, None, None] * 1.0
+    ecog_syll += sylls[:, None, None] * 2.0
+    # mel target depends on ECoG mean + tone
+    base = ecog_non.mean(axis=(1, 2), keepdims=False)
+    mels = (
+        base[:, None] + tones[:, None] * 0.5 + rng.standard_normal((n, out_dim)) * 0.05
+    ).astype(np.float32)
+    return ecog_non, ecog_syll, ecog_tone, mels, tones, sylls
+
+
+class TestSynthesisTrainer:
+    def test_loss_decreases(self, rng):
+        ecog_non, ecog_syll, ecog_tone, mels, _, _ = _toy_synthesis_data(rng)
+        c_cls, t = ecog_syll.shape[1], ecog_syll.shape[2]
+
+        import jax
+
+        tone_model = LogisticRegressionClassifier(input_dim=c_cls * t, n_classes=4)
+        syll_model = LogisticRegressionClassifier(input_dim=c_cls * t, n_classes=2)
+        tone_vars = tone_model.init(
+            {"params": jax.random.key(0)}, ecog_tone[:1], train=False
+        )
+        syll_vars = syll_model.init(
+            {"params": jax.random.key(1)}, ecog_syll[:1], train=False
+        )
+
+        model = SynthesisLite(
+            output_dim=mels.shape[1], n_channels=ecog_non.shape[1], n_timepoints=t
+        )
+        trainer = SynthesisTrainer(
+            model, tone_model, tone_vars, syll_model, syll_vars,
+            TONE_MAPPING, learning_rate=2e-3, seed=0, verbose=False,
+        )
+        data = (ecog_non, ecog_syll, ecog_tone, mels)
+        history = trainer.train(data, epochs=12, batch_size=8, verbose=False)
+        assert history[-1][0] < history[0][0]  # L1 loss decreases
+
+        mcd, recon, origin = trainer.evaluate(data, batch_size=8)
+        assert recon.shape == mels.shape
+        assert origin.shape == mels.shape
+        assert np.isfinite(mcd)
+
+
+class TestSynthesizerCLI:
+    def test_end_to_end(self, rng, tmp_path):
+        n, c, t = 32, 10, 64
+        sr = 2000
+        audio_len = 2048
+        ecog = rng.standard_normal((n, c, t)).astype(np.float32)
+        audio = rng.standard_normal((n, audio_len)).astype(np.float32)
+        tone = rng.integers(0, 4, n)
+        syllable = rng.integers(0, 2, n)
+
+        sample_path = tmp_path / "subject_1.npz"
+        np.savez(
+            sample_path, ecog=ecog, ecog_sf=200.0, audio=audio, audio_sf=sr,
+            tone=tone, syllable=syllable,
+        )
+
+        channel_file = tmp_path / "channels.json"
+        channel_file.write_text(
+            json.dumps(
+                {
+                    "active_channels": list(range(10)),
+                    "tone_discriminative": [0, 1],
+                    "syllable_discriminative": [2, 3],
+                }
+            )
+        )
+
+        config_file = tmp_path / "config.json"
+        config_file.write_text(
+            json.dumps(
+                {
+                    "mel_kwargs": {"n_fft": 256, "hop_length": 128, "n_mels": 20},
+                    "tone_dynamic_mapping": TONE_MAPPING,
+                    "n_syllables": 2,
+                    "n_tones": 4,
+                }
+            )
+        )
+
+        parser = train_synthesizer.build_parser()
+        params = parser.parse_args(
+            [
+                "--sample_path", str(sample_path),
+                "--subject_id", "1",
+                "--result_file", str(tmp_path / "results.csv"),
+                "--figure_dir", str(tmp_path / "figs"),
+                "--audio_dir", str(tmp_path / "wavs"),
+                "--channel_file", str(channel_file),
+                "--config_file", str(config_file),
+                "--model_name", "lite_test",
+                "--synthesis_model_name", "SynthesisLite",
+                "--syllable_model_name", "logistic",
+                "--tone_model_name", "logistic",
+                "--epochs", "2",
+                "--batch_size", "8",
+                "--verbose", "0",
+                "--audio_sampling_rate", str(sr),
+            ]
+        )
+        summary = train_synthesizer.run(params)
+
+        assert os.path.exists(tmp_path / "results.csv")
+        assert np.isfinite(summary["mcd_mean"])
+        assert os.path.exists(tmp_path / "figs" / "training_losses.png")
+        assert os.path.exists(tmp_path / "figs" / "mel_compare_0.png")
+        assert os.path.exists(tmp_path / "wavs" / "recon_0.wav")
+
+        # append mode: second run adds a row
+        train_synthesizer.run(params)
+        import pandas as pd
+
+        df = pd.read_csv(tmp_path / "results.csv")
+        assert len(df) == 2
+
+    def test_unknown_models_rejected(self):
+        with pytest.raises(ValueError):
+            train_synthesizer.build_classifier("nope", 2, 3, 10)
+        with pytest.raises(ValueError):
+            train_synthesizer.build_synthesis_model("nope", 2, 3, 10)
