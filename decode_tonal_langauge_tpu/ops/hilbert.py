@@ -136,3 +136,67 @@ def hilbert_filter(
     return _apply_bank(
         jnp.asarray(data), jnp.asarray(kernels, dtype=jnp.float32), envelope
     )
+
+
+@partial(jax.jit, static_argnames=("envelope", "chunk", "overlap"))
+def _apply_bank_blocked(
+    data: jax.Array, kernels: jax.Array, envelope: bool, chunk: int, overlap: int
+) -> jax.Array:
+    """Overlap-discard blockwise bank application for long recordings.
+
+    ``kernels`` are built for length ``chunk`` (power of two -> fast TPU
+    FFTs). The bank's impulse response is a Gaussian-windowed complex
+    exponential with sigma_t = 1/(2 pi sigma_f); with ``overlap`` of a few
+    hundred samples the discarded boundary context makes interior samples
+    match the full-length transform to float tolerance.
+    """
+    t = data.shape[-1]
+    step = chunk - 2 * overlap
+    n_steps = -(-t // step)
+    pad_total = overlap + (n_steps * step + overlap + chunk) - t
+    xp = jnp.pad(data, [(0, 0)] * (data.ndim - 1) + [(overlap, pad_total)])
+
+    starts = jnp.arange(n_steps) * step
+
+    def one(start):
+        seg = jax.lax.dynamic_slice_in_dim(xp, start, chunk, axis=-1)
+        X = jnp.fft.fft(seg, axis=-1)
+
+        def body(acc, kernel):
+            sig = jnp.fft.ifft(X * kernel, axis=-1)
+            contrib = jnp.abs(sig) if envelope else sig.real
+            return acc + contrib, None
+
+        acc0 = jnp.zeros(seg.shape, dtype=jnp.float32)
+        acc, _ = jax.lax.scan(body, acc0, kernels)
+        out = acc / kernels.shape[0]
+        return jax.lax.slice_in_dim(out, overlap, chunk - overlap, axis=-1)
+
+    pieces = jax.lax.map(one, starts)  # (n_steps, ..., step)
+    out = jnp.moveaxis(pieces, 0, -2).reshape(data.shape[:-1] + (n_steps * step,))
+    return out[..., :t].astype(data.dtype)
+
+
+def hilbert_filter_blocked(
+    data: jax.Array,
+    sampling_rate: float,
+    freq_ranges: Union[List[FreqRange], FreqRange],
+    chunk: int = 8192,
+    overlap: int = 1024,
+    envelope: bool = True,
+    **bank_kwargs,
+) -> jax.Array:
+    """Blockwise Gaussian Hilbert envelope for recordings too long for a
+    single on-chip FFT. Interior-sample parity with :func:`hilbert_filter`
+    is tested to ~1e-3."""
+    centers, sigmas = gaussian_bank_params(freq_ranges, **bank_kwargs)
+    if centers.size == 0:
+        raise ValueError("Filter bank is empty for the given frequency ranges.")
+    kernels = bank_kernels(chunk, sampling_rate, centers, sigmas)
+    return _apply_bank_blocked(
+        jnp.asarray(data),
+        jnp.asarray(kernels, dtype=jnp.float32),
+        envelope,
+        chunk,
+        overlap,
+    )

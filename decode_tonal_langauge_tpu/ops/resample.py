@@ -54,3 +54,59 @@ def resample_to_rate(x: jax.Array, orig_sr: float, target_sr: float) -> jax.Arra
     """
     num = int(x.shape[-1] * (target_sr / orig_sr))
     return fft_resample(x, num)
+
+
+def fft_resample_blocked(
+    x: jax.Array,
+    num: int,
+    chunk_in: int = 32768,
+    overlap_in: int = 4096,
+) -> jax.Array:
+    """Overlap-discard blockwise FFT resampling for long signals.
+
+    TPU FFTs of arbitrary huge lengths are impractical (Bluestein blowup /
+    compiler limits), so the signal is resampled in fixed-size chunks with
+    discarded boundary context. Sinc interpolation is effectively local, so
+    interior samples match the full-length FFT resample to float tolerance;
+    the first/last ``overlap`` samples inherit the chunk's edge behaviour.
+
+    ``num / x.shape[-1]`` must keep ``chunk_in`` and ``overlap_in`` mapping
+    to integer output counts (choose chunk sizes as multiples of the
+    rational rate's denominator).
+    """
+    n_in = x.shape[-1]
+    if num == n_in:
+        return x
+    ratio = num / n_in
+    chunk_out = chunk_in * ratio
+    overlap_out = overlap_in * ratio
+    if abs(chunk_out - round(chunk_out)) > 1e-9 or abs(
+        overlap_out - round(overlap_out)
+    ) > 1e-9:
+        raise ValueError(
+            "chunk_in/overlap_in must map to integer output lengths for "
+            f"ratio {num}/{n_in}."
+        )
+    chunk_out, overlap_out = int(round(chunk_out)), int(round(overlap_out))
+
+    if n_in <= chunk_in:
+        return fft_resample(x, num)
+
+    step_in = chunk_in - 2 * overlap_in
+    step_out = chunk_out - 2 * overlap_out
+    n_steps = -(-n_in // step_in)
+
+    # Pad so every chunk (with context) is in range.
+    pad_total = overlap_in + (n_steps * step_in + overlap_in + chunk_in) - n_in
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(overlap_in, pad_total)])
+
+    starts = jnp.arange(n_steps) * step_in
+
+    def one(start):
+        seg = jax.lax.dynamic_slice_in_dim(xp, start, chunk_in, axis=-1)
+        out = fft_resample(seg, chunk_out)
+        return jax.lax.slice_in_dim(out, overlap_out, chunk_out - overlap_out, axis=-1)
+
+    pieces = jax.lax.map(one, starts)  # (n_steps, ..., step_out)
+    out = jnp.moveaxis(pieces, 0, -2).reshape(x.shape[:-1] + (n_steps * step_out,))
+    return out[..., :num]

@@ -1,0 +1,59 @@
+"""Device-mesh construction and sharding helpers.
+
+New first-class component with no reference counterpart (the reference is
+strictly single-device; SURVEY.md §2.7): data parallelism over
+trials/seeds/subjects and model parallelism over wide dense layers ride a
+``jax.sharding.Mesh``, with XLA inserting the collectives over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Tuple[int, ...]] = None,
+) -> Mesh:
+    """Mesh over the first ``n_devices`` devices.
+
+    With one axis the mesh is (n,); with two and no explicit shape, the
+    model axis gets the largest power-of-two factor <= 2 to keep DP wide.
+    """
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+
+    if shape is None:
+        if len(axis_names) == 1:
+            shape = (n_devices,)
+        elif len(axis_names) == 2:
+            model = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
+            shape = (n_devices // model, model)
+        else:
+            raise ValueError("provide an explicit shape for >2 mesh axes")
+
+    mesh_devices = np.asarray(devices).reshape(shape)
+    return Mesh(mesh_devices, axis_names)
+
+
+def shard_batch(mesh: Mesh, arr, axis: str = "data"):
+    """Place ``arr`` with its leading dim sharded over ``axis``."""
+    spec = P(axis, *([None] * (np.ndim(arr) - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def batch_spec(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))

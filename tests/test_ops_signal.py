@@ -179,3 +179,44 @@ class TestRereference:
         x = _sig(rng, 2, 100)
         ours = np.asarray(rereference.rolling_zscore(x, 10, fill_nans=True))
         assert np.isfinite(ours).all()
+
+
+class TestBlockedOps:
+    """Blockwise (overlap-discard) variants for long recordings must match
+    the full-length transforms in the interior."""
+
+    def test_blocked_resample_matches_full(self, rng):
+        x = rng.standard_normal((3, 7630 * 4)).astype(np.float32)
+        num = 4000 * 4  # ratio 400/3052 -> chunks must be multiples of 763
+        full = np.asarray(resample.fft_resample(x, num))
+        blocked = np.asarray(
+            resample.fft_resample_blocked(x, num, chunk_in=7630, overlap_in=763)
+        )
+        assert blocked.shape == full.shape
+        # interior parity (edges inherit chunk behaviour)
+        np.testing.assert_allclose(
+            blocked[:, 500:-500], full[:, 500:-500], rtol=5e-3, atol=5e-3
+        )
+
+    def test_blocked_resample_bad_chunk(self, rng):
+        x = rng.standard_normal((1, 7630 * 4)).astype(np.float32)
+        with pytest.raises(ValueError, match="integer output"):
+            resample.fft_resample_blocked(x, 4000 * 4, chunk_in=1000, overlap_in=100)
+
+    def test_blocked_hilbert_matches_full(self, rng):
+        sr = 400.0
+        x = rng.standard_normal((2, 20000)).astype(np.float32)
+        full = np.asarray(hilbert.hilbert_filter(x, sr, [(70.0, 150.0)]))
+        blocked = np.asarray(
+            hilbert.hilbert_filter_blocked(
+                x, sr, [(70.0, 150.0)], chunk=4096, overlap=512
+            )
+        )
+        assert blocked.shape == full.shape
+        # interior parity: the blocked version zero-pads chunk edges while
+        # the full FFT wraps circularly; away from the edges they agree
+        interior_full = full[:, 1000:-1000]
+        interior_blocked = blocked[:, 1000:-1000]
+        np.testing.assert_allclose(
+            interior_blocked, interior_full, rtol=2e-2, atol=2e-3
+        )

@@ -1,0 +1,116 @@
+"""Mesh / sharding tests on the virtual 8-device CPU mesh: shard shapes,
+DP-vs-single-device parity, model-parallel dense head, and the graft
+dryrun."""
+
+import sys
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from decode_tonal_langauge_tpu.models.simple import LogisticRegressionClassifier
+from decode_tonal_langauge_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from decode_tonal_langauge_tpu.parallel.train_step import (
+    build_sharded_classifier_step,
+    dense_head_sharding,
+)
+from decode_tonal_langauge_tpu.training.optim import nadam_with_decay_groups
+
+
+@pytest.fixture(scope="module")
+def devices_8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self, devices_8):
+        mesh = make_mesh(8, axis_names=("data",))
+        assert mesh.devices.shape == (8,)
+        mesh2 = make_mesh(8, axis_names=("data", "model"))
+        assert mesh2.devices.shape == (4, 2)
+
+    def test_shard_batch_places_shards(self, devices_8, rng):
+        mesh = make_mesh(8, axis_names=("data",))
+        x = rng.standard_normal((16, 4)).astype(np.float32)
+        xs = shard_batch(mesh, x)
+        # each device holds 16/8 = 2 rows
+        shard_shapes = {s.data.shape for s in xs.addressable_shards}
+        assert shard_shapes == {(2, 4)}
+
+    def test_replicate(self, devices_8, rng):
+        mesh = make_mesh(8, axis_names=("data",))
+        tree = {"w": rng.standard_normal((3, 3)).astype(np.float32)}
+        rep = replicate(mesh, tree)
+        assert rep["w"].sharding.is_fully_replicated
+
+
+class TestShardedTraining:
+    def _setup(self, rng, mesh):
+        n, d = 64, 32
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        y = rng.integers(0, 2, n).astype(np.int32)
+        x[y == 1] += 1.0
+        model = LogisticRegressionClassifier(input_dim=d, n_classes=2)
+        variables = model.init({"params": jax.random.key(0)}, x[:1], train=False)
+        optimizer = nadam_with_decay_groups(1e-2)
+        return model, variables["params"], optimizer, x, y
+
+    def test_dp_matches_single_device(self, devices_8, rng):
+        mesh = make_mesh(8, axis_names=("data",))
+        model, params, optimizer, x, y = self._setup(rng, mesh)
+
+        step = build_sharded_classifier_step(model, optimizer, mesh)
+
+        # single device
+        opt1 = optimizer.init(params)
+        p1, _, loss1 = step(params, opt1, x, y, jax.random.key(1))
+
+        # sharded over the mesh
+        params_r = replicate(mesh, params)
+        opt2 = replicate(mesh, optimizer.init(params))
+        xs, ys = shard_batch(mesh, x), shard_batch(mesh, y)
+        p2, _, loss2 = step(params_r, opt2, xs, ys, jax.random.key(1))
+
+        assert float(loss1) == pytest.approx(float(loss2), rel=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                       atol=1e-6)
+
+    def test_model_parallel_dense_sharding(self, devices_8, rng):
+        mesh = make_mesh(8, axis_names=("data", "model"))
+        from decode_tonal_langauge_tpu.models.deep import CNNClassifier
+
+        model = CNNClassifier(input_channels=4, input_length=200, n_classes=4)
+        x = rng.standard_normal((4, 4, 200)).astype(np.float32)
+        variables = model.init({"params": jax.random.key(0)},
+                               x[:1], train=False)
+        shardings = dense_head_sharding(mesh, variables["params"])
+        fc1 = shardings["fc1"]["kernel"]
+        assert fc1.spec == P(None, "model")
+        conv = shardings["convs_0"]["kernel"]
+        assert conv.spec == P()
+
+
+class TestGraftEntry:
+    def test_entry_forward(self):
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = fn(*args)
+        assert out.shape == (16, 2)
+
+    def test_dryrun_multichip(self, devices_8):
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
