@@ -1,18 +1,22 @@
 """Headline benchmark: raw-ECoG preprocessing throughput vs the CPU reference.
 
 Measures the reference pipeline's compute hot path (SURVEY.md §3.2) —
-FFT downsample 3052 Hz -> 400 Hz, Gaussian Hilbert filter-bank high-gamma
+downsample 3052 Hz -> 400 Hz, Gaussian Hilbert filter-bank high-gamma
 (70-150 Hz) envelope, interval z-score — on a synthetic 128-channel
-recording, comparing:
+60 s recording, comparing:
 
 - CPU floor: a faithful NumPy/SciPy re-implementation of the reference's
   per-bank x per-channel loop (``frequency_filter.py:170-181``), timed on
   this host, vs
-- TPU path: this framework's fused jitted chain on the attached chip.
+- TPU path: this framework's production kernels (polyphase FIR resampler
+  + blocked Hilbert bank, both jitted) on the attached chip.
 
-Prints ONE JSON line: value = recording-seconds of ECoG preprocessed per
-wall-second on the TPU path; ``vs_baseline`` = speedup over the CPU floor
-(target >= 50x per BASELINE.md).
+Also measures classifier training throughput (the other hot loop,
+SURVEY.md §3.3): jitted CNNClassifier train steps/sec on the chip vs an
+equivalent torch CNN on this host's CPU.
+
+Prints ONE JSON line with the required keys (metric/value/unit/
+vs_baseline = the preprocessing speedup) plus extra train-path fields.
 """
 
 from __future__ import annotations
@@ -52,44 +56,41 @@ def cpu_reference_chain(data: np.ndarray, raw_sr: float, target_sr: float):
     return (env - mu) / sd
 
 
-def tpu_chain_builder(raw_t: int, raw_sr: float, target_sr: float):
+def tpu_chain_builder(raw_sr: float, target_sr: float):
+    """Production-path preprocessing chain as one jitted function."""
     import jax
-    import jax.numpy as jnp
 
-    from decode_tonal_langauge_tpu.ops.hilbert import (
-        bank_kernels,
-        gaussian_bank_params,
-    )
-    from decode_tonal_langauge_tpu.ops.resample import fft_resample
+    from decode_tonal_langauge_tpu.ops.hilbert import hilbert_filter_blocked
+    from decode_tonal_langauge_tpu.ops.rereference import interval_zscore
+    from decode_tonal_langauge_tpu.ops.resample import resample_to_rate
 
-    n_out = int(raw_t * (target_sr / raw_sr))
-    centers, sigmas = gaussian_bank_params([(70.0, 150.0)])
-    kernels = jnp.asarray(
-        bank_kernels(n_out, target_sr, centers, sigmas), dtype=jnp.float32
-    )
     zs_end = int(25 * target_sr)
 
     @jax.jit
     def chain(x):
-        ds = fft_resample(x, n_out)
-        X = jnp.fft.fft(ds, axis=-1)
-
-        def body(acc, kernel):
-            return acc + jnp.abs(jnp.fft.ifft(X * kernel[None, :], axis=-1)), None
-
-        acc0 = jnp.zeros(ds.shape, dtype=jnp.float32)
-        acc, _ = jax.lax.scan(body, acc0, kernels)
-        env = acc / kernels.shape[0]
-
-        ref = env[:, :zs_end]
-        mu = ref.mean(axis=1, keepdims=True)
-        sd = ref.std(axis=1, keepdims=True)
-        return (env - mu) / sd
+        ds = resample_to_rate(x, raw_sr, target_sr, method="poly")
+        env = hilbert_filter_blocked(ds, target_sr, [(70.0, 150.0)])
+        return interval_zscore(env, 0, zs_end)
 
     return chain
 
 
-def main():
+def _readback_overhead():
+    """Round-trip latency of a trivial scalar readback (tunnel overhead)."""
+    import jax
+    import jax.numpy as jnp
+
+    trivial = jax.jit(lambda x: x + 1.0)
+    float(trivial(jnp.float32(0.0)))  # compile
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(trivial(jnp.float32(1.0)))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def bench_preprocess():
     import jax
 
     raw_sr, target_sr = 3052.0, 400.0
@@ -105,35 +106,173 @@ def main():
     cpu_time = time.perf_counter() - t0
 
     # ---- TPU path ----
-    chain = tpu_chain_builder(raw_t, raw_sr, target_sr)
+    # Timing is done with N iterations inside ONE jit plus a scalar host
+    # readback: on this tunneled backend ``block_until_ready`` returns
+    # before the computation finishes, so wall-clocking dispatches would
+    # overstate throughput ~100x. The per-iteration input perturbation
+    # stops XLA from hoisting the loop-invariant chain out of the loop.
+    import jax.numpy as jnp
+
+    chain = tpu_chain_builder(raw_sr, target_sr)
     x_dev = jax.device_put(data)
-    out = chain(x_dev)
-    jax.block_until_ready(out)  # compile + warmup
+    out = chain(x_dev)  # for the numerics gate below
 
-    n_runs = 5
+    n_runs = 50
+
+    @jax.jit
+    def chain_n(x):
+        def body(i, acc):
+            return acc + chain(x * (1.0 + 1e-6 * i)).sum()
+        return jax.lax.fori_loop(0, n_runs, body, jnp.float32(0.0))
+
+    float(chain_n(x_dev))  # compile + warmup
+    overhead = _readback_overhead()
     t0 = time.perf_counter()
-    for _ in range(n_runs):
-        out = chain(x_dev)
-    jax.block_until_ready(out)
-    tpu_time = (time.perf_counter() - t0) / n_runs
+    float(chain_n(x_dev))
+    tpu_time = max(time.perf_counter() - t0 - overhead, 1e-9) / n_runs
 
-    # numerics sanity: TPU output matches the CPU reference chain
-    corr = float(
-        np.corrcoef(np.asarray(out).ravel(), cpu_out.ravel())[0, 1]
-    )
+    # numerics sanity: TPU output tracks the CPU reference chain. The TPU
+    # path resamples with a polyphase FIR instead of the FFT method and
+    # blocks the Hilbert bank, so the gate is correlation, not allclose.
+    corr = float(np.corrcoef(np.asarray(out).ravel(), cpu_out.ravel())[0, 1])
     if not math.isfinite(corr) or corr < 0.99:
         raise SystemExit(f"numeric mismatch vs CPU reference: corr={corr}")
 
-    throughput = duration_s / tpu_time  # recording-seconds per wall-second
-    speedup = cpu_time / tpu_time
+    return {
+        "throughput": duration_s / tpu_time,  # recording-seconds / wall-second
+        "speedup": cpu_time / tpu_time,
+        "corr": corr,
+        "cpu_s": cpu_time,
+        "tpu_s": tpu_time,
+    }
+
+
+def bench_training(batch: int = 32, channels: int = 32, length: int = 200,
+                   n_classes: int = 4):
+    """CNNClassifier train-step throughput: TPU jit vs torch CPU floor."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from decode_tonal_langauge_tpu.models.deep import CNNClassifier
+    from decode_tonal_langauge_tpu.training.optim import nadam_with_decay_groups
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((batch, channels, length)).astype(np.float32)
+    y = rng.integers(0, n_classes, batch).astype(np.int32)
+
+    model = CNNClassifier(
+        input_channels=channels, input_length=length, n_classes=n_classes
+    )
+    variables = model.init({"params": jax.random.key(0)}, jnp.asarray(x), train=False)
+    params = variables["params"]
+    optimizer = nadam_with_decay_groups(5e-4, weight_decay=1e-4)
+    opt_state = optimizer.init(params)
+
+    def step(carry, _):
+        params, opt_state, key = carry
+        key, dropout = jax.random.split(key)
+
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p}, x, train=True, rngs={"dropout": dropout}
+            )
+            return optax.softmax_cross_entropy_with_integer_labels(out, y).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state, key), loss
+
+    n_runs = 30
+    x_np, y_np = x, y
+    x, y = jnp.asarray(x), jnp.asarray(y)
+
+    # N real optimizer steps inside one jitted scan; a scalar readback
+    # forces completion (block_until_ready is unreliable on this backend).
+    @jax.jit
+    def run_n(params, opt_state, key):
+        (params, opt_state, _), losses = jax.lax.scan(
+            step, (params, opt_state, key), None, length=n_runs
+        )
+        return losses.sum()
+
+    float(run_n(params, opt_state, jax.random.key(1)))  # compile + warmup
+    overhead = _readback_overhead()
+    t0 = time.perf_counter()
+    float(run_n(params, opt_state, jax.random.key(1)))
+    tpu_step = max(time.perf_counter() - t0 - overhead, 1e-9) / n_runs
+
+    cpu_step = _torch_cpu_train_step_time(x_np, y_np, n_classes)
+    return {
+        "train_steps_per_s": 1.0 / tpu_step,
+        "train_speedup": (cpu_step / tpu_step) if cpu_step else None,
+        "tpu_step_s": tpu_step,
+        "cpu_step_s": cpu_step,
+    }
+
+
+def _torch_cpu_train_step_time(x, y, n_classes):
+    """Torch-CPU floor: the paper CNN topology (conv widths 512..256 over
+    time, dense 1024 head — ``/root/reference/models/deep_classifiers.py:
+    62-99``) trained with NAdam, timed per step on this host."""
+    try:
+        import torch
+        import torch.nn as nn
+    except Exception:
+        return None
+
+    batch, channels, length = x.shape
+    widths = [512, 512, 512, 512, 256, 256]
+    layers = []
+    in_ch, t = 1, length
+    for wdt in widths:
+        layers += [nn.Conv2d(in_ch, wdt, (3, 1), padding=(1, 0)),
+                   nn.LeakyReLU(), nn.MaxPool2d((2, 1))]
+        in_ch, t = wdt, t // 2
+    model = nn.Sequential(
+        *layers, nn.Flatten(),
+        nn.Linear(256 * t * channels, 1024), nn.LeakyReLU(),
+        nn.Linear(1024, n_classes),
+    )
+    opt = torch.optim.NAdam(model.parameters(), lr=5e-4)
+    loss_fn = nn.CrossEntropyLoss()
+    xt = torch.from_numpy(x).permute(0, 2, 1).unsqueeze(1)  # (B,1,T,C)
+    yt = torch.from_numpy(y.astype(np.int64))
+
+    def one_step():
+        opt.zero_grad()
+        loss = loss_fn(model(xt), yt)
+        loss.backward()
+        opt.step()
+
+    one_step()  # warmup
+    n_runs = 3
+    t0 = time.perf_counter()
+    for _ in range(n_runs):
+        one_step()
+    return (time.perf_counter() - t0) / n_runs
+
+
+def main():
+    pre = bench_preprocess()
+    train = bench_training()
 
     print(
         json.dumps(
             {
                 "metric": "ecog_preprocess_recording_seconds_per_second",
-                "value": round(throughput, 2),
+                "value": round(pre["throughput"], 2),
                 "unit": "rec_s/s (128ch raw 3052Hz -> 400Hz high-gamma envelope)",
-                "vs_baseline": round(speedup, 2),
+                "vs_baseline": round(pre["speedup"], 2),
+                "preprocess_corr_vs_reference": round(pre["corr"], 5),
+                "preprocess_cpu_floor_s": round(pre["cpu_s"], 3),
+                "preprocess_tpu_s": round(pre["tpu_s"], 5),
+                "train_steps_per_s": round(train["train_steps_per_s"], 2),
+                "train_vs_torch_cpu": (
+                    round(train["train_speedup"], 2)
+                    if train["train_speedup"]
+                    else None
+                ),
             }
         )
     )

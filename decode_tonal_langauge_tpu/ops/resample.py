@@ -1,16 +1,38 @@
-"""FFT-domain resampling with ``scipy.signal.resample`` numerics.
+"""On-device resampling: FFT (short signals) and polyphase FIR (long).
 
-Replaces the reference downsample step's host-side SciPy call
-(``/root/reference/preprocess/signal/downsample.py:6-29``) with a jitted
-rFFT -> spectrum-truncate/pad -> irFFT pipeline batched over channels.
+The capability replaced here is the reference downsample step's host-side
+SciPy call (``/root/reference/preprocess/signal/downsample.py:6-29``).
+
+Two kernels:
+
+- :func:`fft_resample` — ``scipy.signal.resample`` numerics as a jitted
+  rFFT -> spectrum-truncate/pad -> irFFT, batched over channels. Exact
+  parity with the reference, but only viable for short signals on TPU:
+  this backend lowers non-power-of-two FFTs into dense T x T DFT matmuls,
+  so a minutes-long recording would try to allocate hundreds of GB.
+- :func:`polyphase_resample` — ``scipy.signal.resample_poly`` numerics as
+  a single strided ``conv_general_dilated`` whose ``up`` output phases are
+  the conv's output channels. Work scales as O(C * T * taps/up) and maps
+  onto the MXU; this is the production path for recording-length signals.
+
+:func:`resample_to_rate` picks between them by length (threshold
+``FFT_LENGTH_LIMIT``), keeping the reference's output-sample-count rule.
 """
 
 from __future__ import annotations
 
+import math
+from fractions import Fraction
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# Above this many input samples, resample_to_rate switches from the exact
+# FFT method to the polyphase FIR method (non-pow2 FFTs become dense DFT
+# matmuls on TPU: f32[T, T] scratch, i.e. ~134 GB at T=183120).
+FFT_LENGTH_LIMIT = 16384
 
 
 @partial(jax.jit, static_argnames=("num",))
@@ -46,67 +68,137 @@ def fft_resample(x: jax.Array, num: int) -> jax.Array:
     return (y * (float(num) / float(nx))).astype(x.dtype)
 
 
-def resample_to_rate(x: jax.Array, orig_sr: float, target_sr: float) -> jax.Array:
+def resample_poly_filter(up: int, down: int) -> np.ndarray:
+    """Anti-aliasing FIR used by ``scipy.signal.resample_poly``.
+
+    Kaiser(5.0)-windowed sinc, cutoff at the tighter of the two Nyquist
+    rates, 20*max(up, down)+1 taps, gain ``up`` (host-side design; the
+    filter is static config, not data).
+    """
+    max_rate = max(up, down)
+    half_len = 10 * max_rate
+    n_taps = 2 * half_len + 1
+    cutoff = 1.0 / max_rate  # in units of the upsampled Nyquist
+
+    m = np.arange(n_taps) - half_len
+    h = cutoff * np.sinc(cutoff * m)
+    h *= np.kaiser(n_taps, 5.0)
+    h *= up / h.sum()  # unit DC gain, then compensate the zero-stuffing
+    return h.astype(np.float64)
+
+
+def _polyphase_conv_weights(up: int, down: int, h: np.ndarray):
+    """Pack the polyphase decomposition of ``h`` into strided-conv weights.
+
+    Output sample ``m = q + r*up`` of ``upfirdn(h, x, up, down)`` cropped
+    at the filter center (the ``resample_poly`` alignment) is
+
+        y[m] = sum_j h[up*j + P_q] * x[r*down + B_q - j]
+
+    with ``P_q = (q*down + D) % up``, ``B_q = (q*down + D) // up`` and
+    ``D = (len(h)-1)//2``. Folding the per-phase offset ``B_q`` into the
+    tap position turns all ``up`` phases into output channels of ONE conv
+    with ``window_strides=down``: weight ``w[q, t]`` multiplies
+    ``x[r*down + t + s0]``, so ``t = B_q - j - s0``.
+
+    Returns ``(w, pad_left)`` where ``w`` has shape (up, 1, W) for conv
+    dimension numbers ("NCH", "OIH", "NCH") and ``pad_left = -s0``.
+    """
+    L = len(h)
+    D = (L - 1) // 2
+    J = -(-L // up)  # taps per phase
+    q = np.arange(up)
+    P = (q * down + D) % up
+    B = (q * down + D) // up
+    s0 = int(B.min()) - (J - 1)
+    W = int(B.max()) - s0 + 1
+
+    w = np.zeros((up, 1, W), dtype=np.float64)
+    j = np.arange(J)
+    for qi in range(up):
+        t = B[qi] - j - s0  # position of tap j of phase qi
+        k = up * j + P[qi]  # index into h
+        valid = (k >= 0) & (k < L)
+        w[qi, 0, t[valid]] = h[k[valid]]
+    return w, -s0
+
+
+@partial(jax.jit, static_argnames=("up", "down", "n_out", "pad_left"))
+def _polyphase_apply(
+    x: jax.Array, w: jax.Array, up: int, down: int, n_out: int, pad_left: int
+) -> jax.Array:
+    """Strided conv + phase interleave. ``x``: (C, T) -> (C, n_out)."""
+    n_blocks = -(-n_out // up)  # output positions per phase
+    t_in = x.shape[-1]
+    w_len = w.shape[-1]
+    # rightmost input index touched: (n_blocks-1)*down + w_len-1 - pad_left
+    need = (n_blocks - 1) * down + w_len - pad_left
+    pad_right = max(0, need - t_in)
+
+    out = jax.lax.conv_general_dilated(
+        x[:, None, :].astype(jnp.float32),
+        w.astype(jnp.float32),
+        window_strides=(down,),
+        padding=[(pad_left, pad_right)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        # default conv precision is bf16-grade on both this backend and the
+        # CPU simulator (~1e-3 error); the anti-alias FIR needs full f32
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (C, up, n_blocks)
+    y = jnp.swapaxes(out, 1, 2).reshape(x.shape[0], n_blocks * up)
+    return y[:, :n_out].astype(x.dtype)
+
+
+def polyphase_resample(x: jax.Array, up: int, down: int) -> jax.Array:
+    """``scipy.signal.resample_poly(x, up, down, axis=-1)`` on device.
+
+    ``x`` is (..., T) real; leading axes are flattened into the conv batch.
+    """
+    g = math.gcd(up, down)
+    up, down = up // g, down // g
+    if up == 1 and down == 1:
+        return x
+
+    h = resample_poly_filter(up, down)
+    w, pad_left = _polyphase_conv_weights(up, down, h)
+    n_out = -(-x.shape[-1] * up // down)
+
+    x = jnp.asarray(x)
+    lead = x.shape[:-1]
+    flat = x.reshape((-1, x.shape[-1]))
+    y = _polyphase_apply(flat, jnp.asarray(w), up, down, n_out, pad_left)
+    return y.reshape(lead + (n_out,))
+
+
+def resample_to_rate(
+    x: jax.Array,
+    orig_sr: float,
+    target_sr: float,
+    method: str = "auto",
+) -> jax.Array:
     """Resample so the sampling rate becomes ``target_sr``.
 
-    Uses the reference's sample-count rule ``int(T * target / orig)``
-    (``downsample.py:24-26``).
+    Keeps the reference's sample-count rule ``int(T * target / orig)``
+    (``downsample.py:24-26``). ``method``: ``"fft"`` (exact
+    ``scipy.signal.resample`` numerics), ``"poly"`` (polyphase FIR), or
+    ``"auto"`` — FFT for short signals, polyphase beyond
+    ``FFT_LENGTH_LIMIT`` where non-pow2 FFTs cannot compile on TPU.
     """
-    num = int(x.shape[-1] * (target_sr / orig_sr))
-    return fft_resample(x, num)
-
-
-def fft_resample_blocked(
-    x: jax.Array,
-    num: int,
-    chunk_in: int = 32768,
-    overlap_in: int = 4096,
-) -> jax.Array:
-    """Overlap-discard blockwise FFT resampling for long signals.
-
-    TPU FFTs of arbitrary huge lengths are impractical (Bluestein blowup /
-    compiler limits), so the signal is resampled in fixed-size chunks with
-    discarded boundary context. Sinc interpolation is effectively local, so
-    interior samples match the full-length FFT resample to float tolerance;
-    the first/last ``overlap`` samples inherit the chunk's edge behaviour.
-
-    ``num / x.shape[-1]`` must keep ``chunk_in`` and ``overlap_in`` mapping
-    to integer output counts (choose chunk sizes as multiples of the
-    rational rate's denominator).
-    """
-    n_in = x.shape[-1]
-    if num == n_in:
-        return x
-    ratio = num / n_in
-    chunk_out = chunk_in * ratio
-    overlap_out = overlap_in * ratio
-    if abs(chunk_out - round(chunk_out)) > 1e-9 or abs(
-        overlap_out - round(overlap_out)
-    ) > 1e-9:
-        raise ValueError(
-            "chunk_in/overlap_in must map to integer output lengths for "
-            f"ratio {num}/{n_in}."
-        )
-    chunk_out, overlap_out = int(round(chunk_out)), int(round(overlap_out))
-
-    if n_in <= chunk_in:
+    t_in = x.shape[-1]
+    num = int(t_in * (target_sr / orig_sr))
+    if method == "auto":
+        method = "fft" if t_in <= FFT_LENGTH_LIMIT else "poly"
+    if method == "fft":
         return fft_resample(x, num)
+    if method != "poly":
+        raise ValueError(f"method must be fft/poly/auto, got {method!r}")
 
-    step_in = chunk_in - 2 * overlap_in
-    step_out = chunk_out - 2 * overlap_out
-    n_steps = -(-n_in // step_in)
-
-    # Pad so every chunk (with context) is in range.
-    pad_total = overlap_in + (n_steps * step_in + overlap_in + chunk_in) - n_in
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(overlap_in, pad_total)])
-
-    starts = jnp.arange(n_steps) * step_in
-
-    def one(start):
-        seg = jax.lax.dynamic_slice_in_dim(xp, start, chunk_in, axis=-1)
-        out = fft_resample(seg, chunk_out)
-        return jax.lax.slice_in_dim(out, overlap_out, chunk_out - overlap_out, axis=-1)
-
-    pieces = jax.lax.map(one, starts)  # (n_steps, ..., step_out)
-    out = jnp.moveaxis(pieces, 0, -2).reshape(x.shape[:-1] + (n_steps * step_out,))
-    return out[..., :num]
+    frac = Fraction(target_sr) / Fraction(orig_sr)
+    frac = frac.limit_denominator(10_000)
+    y = polyphase_resample(x, frac.numerator, frac.denominator)
+    # Reconcile ceil-based polyphase length with the reference's int() rule.
+    if y.shape[-1] > num:
+        y = y[..., :num]
+    elif y.shape[-1] < num:
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, num - y.shape[-1])])
+    return y

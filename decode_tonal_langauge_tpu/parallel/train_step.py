@@ -43,9 +43,45 @@ def build_sharded_classifier_step(
     mesh: Mesh,
     has_batch_stats: bool = False,
 ) -> Callable:
-    """One jitted DP training step: (params, opt_state, x, y, rng) ->
-    (params, opt_state, loss). Shard ``x``/``y`` over ``data`` before
-    calling (see ``mesh.shard_batch``)."""
+    """One jitted DP training step.
+
+    Without batch stats: ``(params, opt_state, x, y, rng) -> (params,
+    opt_state, loss)``. With ``has_batch_stats=True`` (BatchNorm models,
+    e.g. ``SynthesisLite``-style stacks): ``(params, batch_stats,
+    opt_state, x, y, rng) -> (params, batch_stats, opt_state, loss)``.
+
+    The batch is constrained to shard over the mesh's ``data`` axis (so a
+    mis-placed input is re-sharded instead of silently replicated); shard
+    inputs with :func:`~..mesh.shard_batch` to avoid the transfer.
+    """
+    def constrain(x):
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    if has_batch_stats:
+
+        def loss_fn(params, batch_stats, x, y, rng):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x,
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(out, y).mean()
+            return ce, updates["batch_stats"]
+
+        @jax.jit
+        def step(params, batch_stats, opt_state, x, y, rng):
+            x, y = constrain(x), constrain(y)
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch_stats, x, y, rng
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_bs, opt_state, loss
+
+        return step
 
     def loss_fn(params, x, y, rng):
         out = model.apply(
@@ -55,6 +91,7 @@ def build_sharded_classifier_step(
 
     @jax.jit
     def step(params, opt_state, x, y, rng):
+        x, y = constrain(x), constrain(y)
         loss, grads = jax.value_and_grad(loss_fn)(params, x, y, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -14,8 +14,13 @@ from argparse import Namespace
 import numpy as np
 
 from ...ops.fir import fir_bandpass_filter
-from ...ops.hilbert import hilbert_filter
+from ...ops.hilbert import hilbert_filter, hilbert_filter_blocked
 from ...ops.iir import butter_filter
+
+# Above this length the Hilbert bank runs blockwise on power-of-two FFT
+# chunks: a full-length non-pow2 FFT lowers to a dense T x T DFT matmul
+# on TPU, which cannot compile for minutes-long recordings.
+HILBERT_FFT_LIMIT = 16384
 
 
 def run(data: np.ndarray, params: Namespace) -> np.ndarray:
@@ -43,7 +48,12 @@ def run(data: np.ndarray, params: Namespace) -> np.ndarray:
                 and isinstance(freq_ranges[0], (int, float))
             ):
                 freq_ranges = [tuple(float(v) for v in freq_ranges)]
-            signals = hilbert_filter(data, params.signal_freq, freq_ranges, **mp)
+            if data.shape[-1] > HILBERT_FFT_LIMIT:
+                signals = hilbert_filter_blocked(
+                    data, params.signal_freq, freq_ranges, **mp
+                )
+            else:
+                signals = hilbert_filter(data, params.signal_freq, freq_ranges, **mp)
         elif method == "butter":
             if "freqs" not in method_params:
                 raise ValueError("Butterworth filter requires 'freqs' in params.")

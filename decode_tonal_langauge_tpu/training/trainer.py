@@ -9,8 +9,10 @@ argmax prediction.
 TPU-native structure: the whole (small) dataset lives on device; an epoch
 is ONE jitted call that ``lax.scan``s over fixed-shape batches (the last
 batch is padded and masked), so there is no per-batch dispatch overhead.
-With a mesh, batches are sharded over the ``data`` axis and XLA inserts
-the gradient ``psum``.
+With a ``mesh``, the per-batch sample axis of the scanned stacks is
+sharded over the mesh's ``data`` axis and params are replicated; GSPMD
+partitions the forward/backward and inserts the gradient ``psum``
+(parity with the single-device run is tested in ``tests/test_parallel.py``).
 """
 
 from __future__ import annotations
@@ -84,7 +86,6 @@ class ClassifierTrainer:
     ):
         self.model = model
         self.n_classes = n_classes
-        self.batch_size = batch_size
         self.max_epochs = max_epochs
         self.patience = patience
         self.seed = seed
@@ -92,6 +93,22 @@ class ClassifierTrainer:
         self.mesh = mesh
         self.verbose = verbose
         self.optimizer = nadam_with_decay_groups(learning_rate, weight_decay)
+
+        self._dp = 1
+        self._batch_sharding = None
+        self._replicated = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._dp = int(mesh.shape["data"])
+            # Scanned stacks are (n_batches, B, ...): shard the per-batch
+            # sample axis (axis 1) over `data`.
+            self._batch_sharding = lambda ndim: NamedSharding(
+                mesh, P(None, "data", *([None] * (ndim - 2)))
+            )
+            self._replicated = NamedSharding(mesh, P())
+        # Each scanned batch must split evenly over the data axis.
+        self.batch_size = -(-batch_size // self._dp) * self._dp
 
         self.params = None
         self.batch_stats: Dict[str, Any] = {}
@@ -106,6 +123,23 @@ class ClassifierTrainer:
         self.batch_stats = variables.get("batch_stats", {})
         self._has_bn = "batch_stats" in variables
         self.opt_state = self.optimizer.init(self.params)
+        if self.mesh is not None:
+            put = lambda t: jax.tree_util.tree_map(
+                lambda leaf: jax.device_put(leaf, self._replicated), t
+            )
+            self.params = put(self.params)
+            self.batch_stats = put(self.batch_stats)
+            self.opt_state = put(self.opt_state)
+
+    def _place_stacks(self, xb, yb, wb):
+        """Move batch stacks to device, sharded over `data` if meshed."""
+        if self.mesh is None:
+            return xb, yb, wb
+        return (
+            jax.device_put(xb, self._batch_sharding(xb.ndim)),
+            jax.device_put(yb, self._batch_sharding(yb.ndim)),
+            jax.device_put(wb, self._batch_sharding(wb.ndim)),
+        )
 
     def n_params(self) -> int:
         return int(
@@ -185,7 +219,9 @@ class ClassifierTrainer:
 
         rng = jax.random.key(self.seed)
         data_rng = np.random.default_rng(self.seed)
-        vxb, vyb, vwb = _stack_batches(val_x, val_y, self.batch_size)
+        vxb, vyb, vwb = self._place_stacks(
+            *_stack_batches(val_x, val_y, self.batch_size)
+        )
 
         history: List[Dict[str, float]] = []
         best_val = np.inf
@@ -196,8 +232,8 @@ class ClassifierTrainer:
 
         for epoch in range(self.max_epochs):
             order = data_rng.permutation(train_x.shape[0])
-            xb, yb, wb = _stack_batches(
-                train_x[order], train_y[order], self.batch_size
+            xb, yb, wb = self._place_stacks(
+                *_stack_batches(train_x[order], train_y[order], self.batch_size)
             )
             (
                 self.params,
@@ -252,7 +288,9 @@ class ClassifierTrainer:
     # ------------------------------------------------------------------
     def predict(self, x: np.ndarray) -> np.ndarray:
         """Argmax class predictions."""
-        xb, yb, wb = _stack_batches(x, np.zeros(x.shape[0], dtype=np.int32), self.batch_size)
+        xb, yb, wb = self._place_stacks(
+            *_stack_batches(x, np.zeros(x.shape[0], dtype=np.int32), self.batch_size)
+        )
         _, _, preds = self._eval_epoch(self.params, self.batch_stats, xb, yb, wb)
         return np.asarray(preds).reshape(-1)[: x.shape[0]]
 

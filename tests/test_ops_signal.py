@@ -25,6 +25,31 @@ class TestResample:
         y = resample.resample_to_rate(x, 3052.0, 400.0)
         assert y.shape == (2, int(3052 * (400 / 3052)))
 
+    @pytest.mark.parametrize("up,down", [(100, 763), (2, 3), (3, 1), (5, 7), (1, 4)])
+    def test_polyphase_matches_scipy(self, rng, up, down):
+        x = _sig(rng, 3, 2289)
+        ours = np.asarray(resample.polyphase_resample(x, up, down))
+        ref = sps.resample_poly(x.astype(np.float64), up, down, axis=-1)
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    def test_polyphase_filter_matches_scipy_design(self):
+        up, down = 4, 9
+        ours = resample.resample_poly_filter(up, down)
+        ref = sps.firwin(
+            2 * 10 * max(up, down) + 1, 1.0 / max(up, down), window=("kaiser", 5.0)
+        ) * up
+        np.testing.assert_allclose(ours, ref, rtol=1e-12, atol=1e-14)
+
+    def test_rate_helper_poly_long_signal(self, rng):
+        # Above FFT_LENGTH_LIMIT the helper must auto-route to polyphase
+        # and keep the reference's int() output-length rule.
+        x = _sig(rng, 2, 30520)
+        y = np.asarray(resample.resample_to_rate(x, 3052.0, 400.0))
+        assert y.shape == (2, int(30520 * (400 / 3052)))
+        ref = sps.resample_poly(x.astype(np.float64), 100, 763, axis=-1)
+        np.testing.assert_allclose(y, ref[:, : y.shape[-1]], rtol=1e-4, atol=1e-5)
+
 
 class TestHilbert:
     def _reference_hilbert(self, data, sr, freq_range, envelope=True):
@@ -184,24 +209,6 @@ class TestRereference:
 class TestBlockedOps:
     """Blockwise (overlap-discard) variants for long recordings must match
     the full-length transforms in the interior."""
-
-    def test_blocked_resample_matches_full(self, rng):
-        x = rng.standard_normal((3, 7630 * 4)).astype(np.float32)
-        num = 4000 * 4  # ratio 400/3052 -> chunks must be multiples of 763
-        full = np.asarray(resample.fft_resample(x, num))
-        blocked = np.asarray(
-            resample.fft_resample_blocked(x, num, chunk_in=7630, overlap_in=763)
-        )
-        assert blocked.shape == full.shape
-        # interior parity (edges inherit chunk behaviour)
-        np.testing.assert_allclose(
-            blocked[:, 500:-500], full[:, 500:-500], rtol=5e-3, atol=5e-3
-        )
-
-    def test_blocked_resample_bad_chunk(self, rng):
-        x = rng.standard_normal((1, 7630 * 4)).astype(np.float32)
-        with pytest.raises(ValueError, match="integer output"):
-            resample.fft_resample_blocked(x, 4000 * 4, chunk_in=1000, overlap_in=100)
 
     def test_blocked_hilbert_matches_full(self, rng):
         sr = 400.0

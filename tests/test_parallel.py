@@ -100,6 +100,105 @@ class TestShardedTraining:
         assert conv.spec == P()
 
 
+class TestTrainerWithMesh:
+    """The production ClassifierTrainer must give the same numbers meshed
+    and unmeshed (DP is a layout decision, not a math change)."""
+
+    def _data(self, rng, n=48, d=16):
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        y = rng.integers(0, 2, n).astype(np.int32)
+        x[y == 1] += 1.0
+        return x, y
+
+    def test_fit_parity_meshed_vs_single(self, devices_8, rng):
+        from decode_tonal_langauge_tpu.training.trainer import ClassifierTrainer
+
+        x, y = self._data(rng)
+        mesh = make_mesh(8, axis_names=("data",))
+
+        def run(mesh):
+            model = LogisticRegressionClassifier(input_dim=16, n_classes=2)
+            trainer = ClassifierTrainer(
+                model, n_classes=2, batch_size=16, max_epochs=3, seed=0,
+                mesh=mesh,
+            )
+            res = trainer.fit(x[:32], y[:32], x[32:], y[32:])
+            return res.history
+
+    # identical seeds/batching -> loss curves agree to float tolerance
+        h_single = run(None)
+        h_meshed = run(mesh)
+        for a, b in zip(h_single, h_meshed):
+            assert a["train/loss"] == pytest.approx(b["train/loss"], rel=1e-4)
+            assert a["val/loss"] == pytest.approx(b["val/loss"], rel=1e-4)
+
+    def test_meshed_batch_is_actually_sharded(self, devices_8, rng):
+        from decode_tonal_langauge_tpu.training.trainer import ClassifierTrainer
+
+        mesh = make_mesh(8, axis_names=("data",))
+        model = LogisticRegressionClassifier(input_dim=16, n_classes=2)
+        trainer = ClassifierTrainer(
+            model, n_classes=2, batch_size=8, max_epochs=1, mesh=mesh
+        )
+        x, y = self._data(rng)
+        xb, yb, wb = trainer._place_stacks(
+            np.zeros((2, 8, 16), np.float32),
+            np.zeros((2, 8), np.int32),
+            np.ones((2, 8), np.float32),
+        )
+        shard_shapes = {s.data.shape for s in xb.addressable_shards}
+        assert shard_shapes == {(2, 1, 16)}
+
+    def test_batch_size_rounds_to_data_axis(self, devices_8):
+        from decode_tonal_langauge_tpu.training.trainer import ClassifierTrainer
+
+        mesh = make_mesh(8, axis_names=("data",))
+        model = LogisticRegressionClassifier(input_dim=4, n_classes=2)
+        trainer = ClassifierTrainer(model, n_classes=2, batch_size=5, mesh=mesh)
+        assert trainer.batch_size == 8
+
+
+class TestBatchStatsStep:
+    def test_sharded_step_with_batchnorm(self, devices_8, rng):
+        import flax.linen as nn
+        import jax.numpy as jnp
+
+        class BNClassifier(nn.Module):
+            n_classes: int = 2
+
+            @nn.compact
+            def __call__(self, x, train: bool = False):
+                x = nn.Dense(8)(x)
+                x = nn.BatchNorm(use_running_average=not train)(x)
+                return nn.Dense(self.n_classes)(x)
+
+        mesh = make_mesh(8, axis_names=("data",))
+        model = BNClassifier()
+        x = rng.standard_normal((16, 4)).astype(np.float32)
+        y = rng.integers(0, 2, 16).astype(np.int32)
+        variables = model.init({"params": jax.random.key(0)}, x[:1], train=False)
+        optimizer = nadam_with_decay_groups(1e-2)
+
+        step = build_sharded_classifier_step(
+            model, optimizer, mesh, has_batch_stats=True
+        )
+        params = replicate(mesh, variables["params"])
+        batch_stats = replicate(mesh, variables["batch_stats"])
+        opt = replicate(mesh, optimizer.init(variables["params"]))
+        xs, ys = shard_batch(mesh, x), shard_batch(mesh, y)
+        params, new_bs, opt, loss = step(
+            params, batch_stats, opt, xs, ys, jax.random.key(1)
+        )
+        assert np.isfinite(float(loss))
+        # running stats must actually update
+        before = jax.tree_util.tree_leaves(batch_stats)
+        after = jax.tree_util.tree_leaves(new_bs)
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(before, after)
+        )
+
+
 class TestGraftEntry:
     def test_entry_forward(self):
         sys.path.insert(0, "/root/repo")
