@@ -64,7 +64,7 @@ def run(data: dict, params: dict) -> dict:
             active_channels.append(ch)
             max_lengths.append(int(runs[ch]))
 
-    print(f"Found {len(active_channels)} active channels.")
+    print(f"{len(active_channels)} channels pass the activity test.")
 
     return {
         "selected_channels": active_channels,
@@ -132,7 +132,7 @@ def plot_rest_erp(
         sem = arr.std(axis=0) / np.sqrt(arr.shape[0])
         axes[0].plot(time, mean, label=f"{label} Mean ± SEM", color=color)
         axes[0].fill_between(time, mean - sem, mean + sem, color=color, alpha=0.2)
-    axes[0].set_title("Comparison of Rest and ERP Activity")
+    axes[0].set_title("Rest vs ERP mean activity")
     axes[0].set_xlabel("Time (s)")
     axes[0].set_ylabel("Amplitude")
     axes[0].legend()

@@ -70,7 +70,7 @@ def test_discriminative_power(
 
     if recording_name not in data:
         raise KeyError(
-            f"Recording '{recording_name}' not found in data."
+            f"No '{recording_name}' array in the sample data; "
             f"Available keys: {list(data.keys())}"
         )
     series = np.asarray(data[recording_name])
@@ -82,7 +82,7 @@ def test_discriminative_power(
 
     if target not in data:
         raise KeyError(
-            f"Labels '{target}' not found in data."
+            f"No '{target}' label array in the sample data; "
             f"Available keys: {list(data.keys())}"
         )
     labels = np.asarray(data[target]).squeeze()

@@ -53,17 +53,17 @@ def run(config: dict) -> str:
     for subject_id, subject_params in (params_config.get("subjects", {}) or {}).items():
         subject_path = os.path.join(params.recording_dir, f"subject_{subject_id}")
         if not os.path.exists(subject_path):
-            print(f"Recording directory {subject_path} not found. Skipping...")
+            print(f"No recording directory at {subject_path}; subject skipped.")
             continue
 
         subject_output_path = os.path.join(output_dir, f"subject_{subject_id}.npz")
         if os.path.exists(subject_output_path) and not params.overwrite:
-            print(f"Output file {subject_output_path} already exists. Skipping ...")
+            print(f"Reusing cached samples at {subject_output_path} (pass overwrite to redo).")
             continue
 
         textgrid_dir = os.path.join(params.textgrid_root, subject_params["textgrid_dir"])
         if not os.path.exists(textgrid_dir):
-            print(f"TextGrid directory {textgrid_dir} not found. Skipping...")
+            print(f"No TextGrid directory at {textgrid_dir}; subject skipped.")
             continue
 
         intervals = handle_textgrids(

@@ -38,7 +38,7 @@ class ClassificationSampleHandler:
         feature_key = getattr(self.params, "features", "ecog")
         if feature_key not in self.dataset:
             raise KeyError(
-                f"The dataset in {self.sample_path} does not contain {feature_key}. "
+                f"Feature array '{feature_key}' missing from {self.sample_path}; "
                 f"Available keys: {', '.join(self.dataset.keys())}"
             )
         features = self.dataset[feature_key]
@@ -48,17 +48,19 @@ class ClassificationSampleHandler:
         for target in self.targets:
             if target not in self.dataset:
                 raise KeyError(
-                    f"The dataset does not contain '{target}' key. "
+                    f"Label array '{target}' missing from the sample file; "
                     f"Available keys: {', '.join(self.dataset.keys())}"
                 )
             target_labels.append(self.dataset[target].flatten())
             n_classes_dict[target] = len(np.unique(self.dataset[target]))
 
+        # mixed-radix combine: each target contributes one digit whose
+        # radix is that target's class count
         labels = np.zeros_like(target_labels[0], dtype=int)
-        multiplier = 1
-        for target_label in target_labels:
-            labels += target_label * multiplier
-            multiplier *= len(np.unique(target_label))
+        radix = 1
+        for digit in target_labels:
+            labels += digit * radix
+            radix *= len(np.unique(digit))
 
         self.channels = self._filter_channels(features.shape[1])
         features = features[:, self.channels, :]
@@ -90,7 +92,7 @@ class ClassificationSampleHandler:
 
         if not channels:
             raise ValueError(
-                f"No channels found for the targets: {', '.join(self.targets)}. "
+                f"Empty channel union for targets {', '.join(self.targets)} -- "
                 f"Please check the channel file {self.channel_file}"
             )
 
@@ -109,7 +111,7 @@ class ClassificationSampleHandler:
                 if given is None:
                     if n_classes_dict is None or target not in n_classes_dict:
                         raise ValueError(
-                            f"Number of classes for target '{target}' is not provided."
+                            f"Missing class count for target '{target}' in class_labels."
                         )
                     per_target.append(
                         [str(i) for i in range(1, n_classes_dict[target] + 1)]
@@ -123,7 +125,7 @@ class ClassificationSampleHandler:
         if given is None:
             if n_classes_dict is None or target not in n_classes_dict:
                 raise ValueError(
-                    f"Number of classes for target '{target}' is not provided."
+                    f"Missing class count for target '{target}' in class_labels."
                 )
             return [str(i) for i in range(1, n_classes_dict[target] + 1)]
         return list(given)

@@ -13,6 +13,7 @@ from typing import Any, Dict
 
 from . import registry
 from .config import load_config
+from .runtime.profiling import StageTimer, trace
 
 STAGES = [
     "preprocess",
@@ -27,13 +28,20 @@ STAGES = [
 def run_pipeline(config_path_or_dict) -> Dict[str, str]:
     """Execute pipeline stages defined in a config file or dict.
 
-    Returns the map of stage -> output directory.
+    Returns the map of stage -> output directory. A top-level
+    ``profiling`` section enables observability: ``trace_dir`` wraps every
+    stage in a ``jax.profiler`` trace, ``timing: true`` (default) prints a
+    per-stage wall-clock summary at the end.
     """
     if isinstance(config_path_or_dict, str):
         config: Dict[str, Any] = load_config(config_path_or_dict)
     else:
         config = config_path_or_dict
     stage_outputs: Dict[str, str] = {}
+
+    profiling_cfg = config.get("profiling") or {}
+    trace_dir = profiling_cfg.get("trace_dir")
+    timer = StageTimer()
 
     for stage in STAGES:
         stage_cfg = config.get(stage)
@@ -59,9 +67,14 @@ def run_pipeline(config_path_or_dict) -> Dict[str, str]:
                 f"Available functions: {', '.join(dir(module))}"
             )
 
-        result = func(config)
+        with timer.span(stage), trace(trace_dir):
+            result = func(config)
         if isinstance(result, str):
             stage_outputs[stage] = result
+
+    if timer.spans and profiling_cfg.get("timing", True):
+        print("----------- Stage timing -----------")
+        print(timer.summary())
 
     return stage_outputs
 

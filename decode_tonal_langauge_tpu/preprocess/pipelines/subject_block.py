@@ -81,11 +81,21 @@ def run(pipeline_params, io_params, io_module, preprocessor_module, modalities_c
             f,
         )
 
-    for subject_id, block_id, block_path in iter_blocks(
-        io_params.root_dir,
-        pipeline_params.subject_dirs,
-        getattr(pipeline_params, "subject_ids", None),
-    ):
+    # Multi-host: each process preprocesses only its round-robin share of
+    # blocks (host-level data sharding; a single process takes them all).
+    from ...parallel.distributed import host_shard
+
+    blocks = host_shard(
+        list(
+            iter_blocks(
+                io_params.root_dir,
+                pipeline_params.subject_dirs,
+                getattr(pipeline_params, "subject_ids", None),
+            )
+        )
+    )
+
+    for subject_id, block_id, block_path in blocks:
         print(f"Processing block {block_id} of subject {subject_id}...")
 
         data_dict = io_module.load_block(block_path)

@@ -19,7 +19,7 @@ Arbitrary user dotted paths still work via :func:`resolve` (the escape hatch).
 from __future__ import annotations
 
 import importlib
-from typing import Any, Dict
+from typing import Dict
 
 _PKG = "decode_tonal_langauge_tpu"
 
@@ -86,20 +86,6 @@ def canonical_module_path(name: str) -> str:
 def resolve(name: str):
     """Import and return the plugin module for a config-supplied name."""
     return importlib.import_module(canonical_module_path(name))
-
-
-def resolve_class(path: str) -> Any:
-    """Import a class from a dotted ``module.Class`` path (with aliasing)."""
-    path = canonical_module_path(path)
-    module_name, class_name = path.rsplit(".", 1)
-    # The alias table maps full class paths; a plain module path with a final
-    # class component also works.
-    try:
-        module = importlib.import_module(path)
-        return module  # a module-level plugin, not a class
-    except ImportError:
-        module = importlib.import_module(module_name)
-        return getattr(module, class_name)
 
 
 def register_alias(name: str, target: str) -> None:

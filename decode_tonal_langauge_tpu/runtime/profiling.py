@@ -27,17 +27,29 @@ def trace(log_dir: Optional[str] = None):
         jax.profiler.stop_trace()
 
 
+def _fence(tree):
+    """Force completion of every array in ``tree``.
+
+    ``block_until_ready`` can return before execution finishes on tunneled
+    backends, so fence with an actual host readback of (one element of)
+    each device array.
+    """
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "addressable_shards"):
+            jax.device_get(leaf.ravel()[:1] if hasattr(leaf, "ravel") else leaf)
+
+
 def timed(fn: Callable, *args, warmup: int = 1, repeats: int = 5, **kwargs):
     """(result, seconds-per-call) with device-completion fencing."""
     result = None
     for _ in range(max(warmup, 0)):
         result = fn(*args, **kwargs)
-    jax.block_until_ready(result)
+    _fence(result)
 
     t0 = time.perf_counter()
     for _ in range(repeats):
         result = fn(*args, **kwargs)
-    jax.block_until_ready(result)
+    _fence(result)
     per_call = (time.perf_counter() - t0) / repeats
     return result, per_call
 

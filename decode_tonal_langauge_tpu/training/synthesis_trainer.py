@@ -65,6 +65,7 @@ class SynthesisTrainer:
         schedule_decay: float = 0.004,
         seed: int = 0,
         verbose: bool = True,
+        mesh=None,
     ) -> None:
         self.model = synthesis_model
         self.tone_model = tone_model
@@ -73,6 +74,22 @@ class SynthesisTrainer:
         self.syllable_variables = syllable_variables
         self.seed = seed
         self.verbose = verbose
+
+        # With a mesh, the per-batch sample axis of the scanned stacks is
+        # sharded over `data` and params replicated (same DP layout as
+        # ClassifierTrainer).
+        self.mesh = mesh
+        self._dp = 1
+        self._batch_sharding = None
+        self._replicated = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._dp = int(mesh.shape["data"])
+            self._batch_sharding = lambda ndim: NamedSharding(
+                mesh, P(None, "data", *([None] * (ndim - 2)))
+            )
+            self._replicated = NamedSharding(mesh, P())
 
         table, _ = tone_dynamics_table(tone_dynamic_mapping)
         self.dynamics_table = jnp.asarray(table, dtype=jnp.float32)
@@ -103,6 +120,15 @@ class SynthesisTrainer:
         self.batch_stats = variables.get("batch_stats", {})
         self._has_bn = "batch_stats" in variables
         self.opt_state = self.optimizer.init(self.params)
+        if self.mesh is not None:
+            put = lambda t: jax.tree_util.tree_map(
+                lambda leaf: jax.device_put(leaf, self._replicated), t
+            )
+            self.params = put(self.params)
+            self.batch_stats = put(self.batch_stats)
+            self.opt_state = put(self.opt_state)
+            self.tone_variables = put(self.tone_variables)
+            self.syllable_variables = put(self.syllable_variables)
 
     def n_params(self) -> int:
         return int(
@@ -187,6 +213,7 @@ class SynthesisTrainer:
     # ------------------------------------------------------------------
     def _stack(self, data, batch_size):
         """data: (x_non, x_syll, x_tone, mels) -> padded batch stacks."""
+        batch_size = -(-batch_size // self._dp) * self._dp
         x_non, x_syll, x_tone, mels = data
         n = x_non.shape[0]
         _, _, w = _stack_batches(
@@ -199,13 +226,18 @@ class SynthesisTrainer:
                 arr = np.concatenate([arr, np.repeat(arr[:1], pad, axis=0)], axis=0)
             return arr.reshape((w.shape[0], w.shape[1]) + arr.shape[1:])
 
-        return (
+        batches = (
             stack(x_non.astype(np.float32)),
             stack(x_syll.astype(np.float32)),
             stack(x_tone.astype(np.float32)),
             stack(mels.astype(np.float32)),
             w,
         )
+        if self.mesh is not None:
+            batches = tuple(
+                jax.device_put(b, self._batch_sharding(b.ndim)) for b in batches
+            )
+        return batches
 
     def train(
         self,

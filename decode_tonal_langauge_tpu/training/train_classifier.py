@@ -100,6 +100,12 @@ def run(config: dict) -> str:
 
     subject_filter = _prepare_subject_filter(params, subject_files)
 
+    # Multi-host: each process trains its round-robin share of subjects
+    # (identity under a single process).
+    from ..parallel.distributed import host_shard
+
+    subject_files = host_shard(subject_files)
+
     for subject_file in subject_files:
         subject_id = subject_file.split("_")[1].split(".")[0]
         if subject_id not in subject_filter:

@@ -53,16 +53,43 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--tone_model_name", type=str, required=True)
     # ----- Audio -----
     parser.add_argument("--audio_sampling_rate", type=int, default=24414)
+    parser.add_argument(
+        "--n_mels", type=int, default=None,
+        help="Override mel_kwargs['n_mels'] from the config JSON.",
+    )
+    parser.add_argument(
+        "--n_fft", type=int, default=None,
+        help="Override mel_kwargs['n_fft'] from the config JSON.",
+    )
+    parser.add_argument(
+        "--hop_length", type=int, default=None,
+        help="Override mel_kwargs['hop_length'] from the config JSON.",
+    )
     # ----- Experiment -----
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--repeat", type=int, default=1)
     parser.add_argument("--verbose", type=int, default=1)
     # ----- Training -----
     parser.add_argument("--train_ratio", type=float, default=0.9)
+    parser.add_argument(
+        "--vali_ratio", type=float, default=None,
+        help="Optional validation fraction; with --test_ratio it forms a "
+        "3-way split (otherwise test = 1 - train_ratio).",
+    )
+    parser.add_argument("--test_ratio", type=float, default=None)
     parser.add_argument("--device", type=str, default="tpu")
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--epochs", type=int, default=100)
     parser.add_argument("--lr", type=float, default=0.0005)
+    # ----- Optimizer (NAdam) -----
+    parser.add_argument("--beta_1", type=float, default=0.9)
+    parser.add_argument("--beta_2", type=float, default=0.999)
+    parser.add_argument("--epsilon", type=float, default=1e-8)
+    parser.add_argument(
+        "--schedule_decay", type=float, default=0.004,
+        help="Weight decay (the reference feeds its schedule_decay to "
+        "NAdam's weight_decay).",
+    )
     return parser
 
 
@@ -150,7 +177,11 @@ def run(params: argparse.Namespace) -> dict:
 
     with open(params.config_file, "r") as f:
         config = json.load(f)
-    mel_kwargs = config["mel_kwargs"]
+    mel_kwargs = dict(config["mel_kwargs"])
+    for key in ("n_mels", "n_fft", "hop_length"):
+        value = getattr(params, key, None)
+        if value is not None:
+            mel_kwargs[key] = value
     tone_dynamic_mapping = config["tone_dynamic_mapping"]
     n_syllables = config["n_syllables"]
     n_tones = config["n_tones"]
@@ -189,15 +220,18 @@ def run(params: argparse.Namespace) -> dict:
     rng = np.random.default_rng(params.seed)
     seeds = rng.integers(0, 10000, params.repeat)
 
-    rows = []
+    vali_ratio = getattr(params, "vali_ratio", None)
+    test_ratio = getattr(params, "test_ratio", None)
+    if vali_ratio is not None and test_ratio is not None:
+        ratios = [params.train_ratio, vali_ratio, test_ratio]
+    else:
+        ratios = [params.train_ratio, 1.0 - params.train_ratio]
+
     mcds = []
     last = None
     for seed in seeds:
-        tr_idx, te_idx = split_indices(
-            ecog_non.shape[0],
-            [params.train_ratio, 1.0 - params.train_ratio],
-            seed=int(seed),
-        )
+        idx_splits = split_indices(ecog_non.shape[0], ratios, seed=int(seed))
+        tr_idx, te_idx = idx_splits[0], idx_splits[-1]
 
         synthesis_model = build_synthesis_model(
             params.synthesis_model_name, mels.shape[1], ecog_non.shape[1], n_timepoints
@@ -210,6 +244,10 @@ def run(params: argparse.Namespace) -> dict:
             syllable_variables,
             tone_dynamic_mapping,
             learning_rate=params.lr,
+            beta_1=getattr(params, "beta_1", 0.9),
+            beta_2=getattr(params, "beta_2", 0.999),
+            epsilon=getattr(params, "epsilon", 1e-8),
+            schedule_decay=getattr(params, "schedule_decay", 0.004),
             seed=int(seed),
             verbose=params.verbose > 0,
         )

@@ -6,13 +6,21 @@ NAdam with decay groups, train/val loss + macro-accuracy + weight-norm
 logging, early stopping on validation loss, test-time confusion matrix,
 argmax prediction.
 
-TPU-native structure: the whole (small) dataset lives on device; an epoch
-is ONE jitted call that ``lax.scan``s over fixed-shape batches (the last
-batch is padded and masked), so there is no per-batch dispatch overhead.
-With a ``mesh``, the per-batch sample axis of the scanned stacks is
-sharded over the mesh's ``data`` axis and params are replicated; GSPMD
-partitions the forward/backward and inserts the gradient ``psum``
-(parity with the single-device run is tested in ``tests/test_parallel.py``).
+TPU-native structure: the whole (small) dataset lives on device and the
+ENTIRE fit — per-epoch on-device shuffling, batch scan, validation pass,
+early-stopping bookkeeping — is ONE jitted call (``lax.scan`` over epochs
+around ``lax.scan`` over fixed-shape padded/masked batches). A per-epoch
+Python loop would pay one host round trip per epoch, which dominates end
+to end for small models (dispatch latency is ~tens of ms on tunneled
+chips, ~ms even locally); here the host reads back only the stacked
+history once. Early stopping inside the scan freezes the carried state
+after patience runs out (same result as breaking, paid as cheap no-op
+iterations).
+
+With a ``mesh``, the per-batch sample axis is sharded over the mesh's
+``data`` axis and params are replicated; GSPMD partitions the
+forward/backward and inserts the gradient ``psum`` (parity with the
+single-device run is tested in ``tests/test_parallel.py``).
 """
 
 from __future__ import annotations
@@ -92,6 +100,8 @@ class ClassifierTrainer:
         self.log_dir = log_dir
         self.mesh = mesh
         self.verbose = verbose
+        self._learning_rate = learning_rate
+        self._weight_decay = weight_decay
         self.optimizer = nadam_with_decay_groups(learning_rate, weight_decay)
 
         self._dp = 1
@@ -114,6 +124,29 @@ class ClassifierTrainer:
         self.batch_stats: Dict[str, Any] = {}
         self.opt_state = None
         self._has_bn = False
+
+    # ------------------------------------------------------------------
+    # The jitted methods take `self` as a static argument; hashing by the
+    # numeric configuration (instead of object identity) lets every
+    # trainer with the same model/optimizer/batching reuse the compiled
+    # fit — the pipeline builds one trainer per (target, seed), and
+    # per-instance hashing would recompile each time. Only fields the
+    # traced code actually reads may go into this key; mutable training
+    # state (params, opt_state, rng) is always passed as an argument.
+    def _static_key(self):
+        return (
+            type(self), self.model, self.n_classes, self.batch_size,
+            self._learning_rate, self._weight_decay, self.mesh, self._has_bn,
+        )
+
+    def __hash__(self):
+        return hash(self._static_key())
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, ClassifierTrainer)
+            and self._static_key() == other._static_key()
+        )
 
     # ------------------------------------------------------------------
     def init(self, sample_x: np.ndarray) -> None:
@@ -164,33 +197,112 @@ class ClassifierTrainer:
             return out, new_bs
         return self.model.apply(variables, x, **kwargs), batch_stats
 
-    @partial(jax.jit, static_argnums=(0,))
-    def _train_epoch(self, params, batch_stats, opt_state, rng, xb, yb, wb):
-        def step(carry, batch):
-            params, batch_stats, opt_state, rng = carry
-            x, y, w = batch
-            rng, dropout_rng = jax.random.split(rng)
+    def _batch_step(self, carry, batch):
+        """One optimizer step on a masked batch (scanned)."""
+        params, batch_stats, opt_state, rng = carry
+        x, y, w = batch
+        rng, dropout_rng = jax.random.split(rng)
 
-            def loss_fn(p, bs):
-                out, new_bs = self._apply(p, bs, x, train=True, rng=dropout_rng)
-                ce = optax.softmax_cross_entropy_with_integer_labels(out, y)
-                loss = (ce * w).sum() / jnp.maximum(w.sum(), 1.0)
-                preds = out.argmax(axis=-1)
-                acc = _macro_accuracy(preds, y, w, self.n_classes)
-                return loss, (new_bs, acc)
+        def loss_fn(p, bs):
+            out, new_bs = self._apply(p, bs, x, train=True, rng=dropout_rng)
+            ce = optax.softmax_cross_entropy_with_integer_labels(out, y)
+            loss = (ce * w).sum() / jnp.maximum(w.sum(), 1.0)
+            preds = out.argmax(axis=-1)
+            acc = _macro_accuracy(preds, y, w, self.n_classes)
+            return loss, (new_bs, acc)
 
-            (loss, (new_bs, acc)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params, batch_stats)
-            updates, opt_state = self.optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, new_bs, opt_state, rng), (loss, acc)
-
-        (params, batch_stats, opt_state, rng), (losses, accs) = jax.lax.scan(
-            step, (params, batch_stats, opt_state, rng), (xb, yb, wb)
+        (loss, (new_bs, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats
         )
-        weight_norm = optax.global_norm(params)
-        return params, batch_stats, opt_state, rng, losses.mean(), accs.mean(), weight_norm
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, new_bs, opt_state, rng), (loss, acc)
+
+    def _constrain_stack(self, arr):
+        """Pin the per-batch sample axis of a scanned stack to `data`."""
+        if self._batch_sharding is None:
+            return arr
+        return jax.lax.with_sharding_constraint(
+            arr, self._batch_sharding(arr.ndim)
+        )
+
+    @partial(jax.jit, static_argnums=(0, 1, 2))
+    def _fit_scan(
+        self, n_epochs, patience,
+        params, batch_stats, opt_state, rng,
+        x, y, w, vxb, vyb, vwb,
+    ):
+        """The whole training run as one compiled computation.
+
+        Scans epochs; each epoch shuffles on device, scans batches, runs
+        the validation pass, and updates early-stopping state. Epochs
+        after the stop are frozen no-ops (metrics NaN), so the host can
+        reconstruct exactly the per-epoch history the reference's loop
+        would have produced.
+        """
+        n = x.shape[0]
+        n_batches = n // self.batch_size
+
+        def eval_pass(params, batch_stats):
+            def step(_, batch):
+                bx, by, bw = batch
+                out, _ = self._apply(params, batch_stats, bx, train=False)
+                ce = optax.softmax_cross_entropy_with_integer_labels(out, by)
+                loss = (ce * bw).sum() / jnp.maximum(bw.sum(), 1.0)
+                acc = _macro_accuracy(out.argmax(axis=-1), by, bw, self.n_classes)
+                return None, (loss, acc)
+
+            _, (losses, accs) = jax.lax.scan(step, None, (vxb, vyb, vwb))
+            return losses.mean(), accs.mean()
+
+        def do_epoch(operand):
+            params, batch_stats, opt_state, rng = operand
+            rng, perm_rng = jax.random.split(rng)
+            perm = jax.random.permutation(perm_rng, n)
+            xb = self._constrain_stack(
+                x[perm].reshape((n_batches, self.batch_size) + x.shape[1:])
+            )
+            yb = self._constrain_stack(
+                y[perm].reshape((n_batches, self.batch_size))
+            )
+            wb = self._constrain_stack(
+                w[perm].reshape((n_batches, self.batch_size))
+            )
+            (params, batch_stats, opt_state, rng), (losses, accs) = jax.lax.scan(
+                self._batch_step, (params, batch_stats, opt_state, rng), (xb, yb, wb)
+            )
+            val_loss, val_acc = eval_pass(params, batch_stats)
+            metrics = (
+                losses.mean(), accs.mean(), optax.global_norm(params),
+                val_loss, val_acc,
+            )
+            return (params, batch_stats, opt_state, rng), metrics
+
+        def skip_epoch(operand):
+            nan = jnp.float32(jnp.nan)
+            return operand, (nan, nan, nan, nan, nan)
+
+        def epoch_body(carry, epoch):
+            state, best_val, best_epoch, bad, stopped = carry
+            state, metrics = jax.lax.cond(stopped, skip_epoch, do_epoch, state)
+            val_loss = metrics[3]
+
+            improved = jnp.logical_and(~stopped, val_loss < best_val)
+            best_val = jnp.where(improved, val_loss, best_val)
+            best_epoch = jnp.where(improved, epoch, best_epoch)
+            bad = jnp.where(stopped, bad, jnp.where(improved, 0, bad + 1))
+            stopped = jnp.logical_or(stopped, bad > patience)
+            return (state, best_val, best_epoch, bad, stopped), metrics
+
+        init = (
+            (params, batch_stats, opt_state, rng),
+            jnp.float32(jnp.inf), jnp.int32(-1), jnp.int32(0), jnp.bool_(False),
+        )
+        (state, _, best_epoch, _, stopped), history = jax.lax.scan(
+            epoch_body, init, jnp.arange(n_epochs, dtype=jnp.int32)
+        )
+        params, batch_stats, opt_state, rng = state
+        return params, batch_stats, opt_state, rng, best_epoch, stopped, history
 
     @partial(jax.jit, static_argnums=(0,))
     def _eval_epoch(self, params, batch_stats, xb, yb, wb):
@@ -218,45 +330,48 @@ class ClassifierTrainer:
             self.init(train_x)
 
         rng = jax.random.key(self.seed)
-        data_rng = np.random.default_rng(self.seed)
         vxb, vyb, vwb = self._place_stacks(
             *_stack_batches(val_x, val_y, self.batch_size)
         )
 
+        # Flatten the train set to one padded (N_pad, ...) block; the
+        # per-epoch shuffle happens on device inside the fit scan.
+        xb, yb, wb = _stack_batches(train_x, train_y, self.batch_size)
+        x = xb.reshape((-1,) + xb.shape[2:])
+        y = yb.reshape(-1)
+        w = wb.reshape(-1)
+        if self.mesh is not None:
+            rep = lambda a: jax.device_put(a, self._replicated)
+            x, y, w = rep(x), rep(y), rep(w)
+
+        (
+            self.params,
+            self.batch_stats,
+            self.opt_state,
+            rng,
+            best_epoch,
+            stopped,
+            metrics,
+        ) = self._fit_scan(
+            self.max_epochs, self.patience,
+            self.params, self.batch_stats, self.opt_state, rng,
+            x, y, w, vxb, vyb, vwb,
+        )
+
+        tr_loss, tr_acc, w_norm, val_loss, val_acc = (
+            np.asarray(m) for m in metrics
+        )
         history: List[Dict[str, float]] = []
-        best_val = np.inf
-        best_epoch = -1
-        best_state = None
-        bad_epochs = 0
-        stopped_early = False
-
         for epoch in range(self.max_epochs):
-            order = data_rng.permutation(train_x.shape[0])
-            xb, yb, wb = self._place_stacks(
-                *_stack_batches(train_x[order], train_y[order], self.batch_size)
-            )
-            (
-                self.params,
-                self.batch_stats,
-                self.opt_state,
-                rng,
-                tr_loss,
-                tr_acc,
-                w_norm,
-            ) = self._train_epoch(
-                self.params, self.batch_stats, self.opt_state, rng, xb, yb, wb
-            )
-            val_loss, val_acc, _ = self._eval_epoch(
-                self.params, self.batch_stats, vxb, vyb, vwb
-            )
-
+            if not np.isfinite(val_loss[epoch]):
+                break  # frozen post-stop epochs
             row = {
                 "epoch": epoch,
-                "train/loss": float(tr_loss),
-                "train/accuracy": float(tr_acc),
-                "train/weight_norm": float(w_norm),
-                "val/loss": float(val_loss),
-                "val/accuracy": float(val_acc),
+                "train/loss": float(tr_loss[epoch]),
+                "train/accuracy": float(tr_acc[epoch]),
+                "train/weight_norm": float(w_norm[epoch]),
+                "val/loss": float(val_loss[epoch]),
+                "val/accuracy": float(val_acc[epoch]),
             }
             history.append(row)
             if self.verbose:
@@ -265,25 +380,12 @@ class ClassifierTrainer:
                     f"val/loss={row['val/loss']:.4f} val/acc={row['val/accuracy']:.4f}"
                 )
 
-            if row["val/loss"] < best_val:
-                best_val = row["val/loss"]
-                best_epoch = epoch
-                best_state = (self.params, self.batch_stats)
-                bad_epochs = 0
-            else:
-                bad_epochs += 1
-                if bad_epochs > self.patience:
-                    stopped_early = True
-                    break
-
-        # Keep the final weights (reference keeps last epoch, not best);
-        # best_state retained for inspection.
-        self._best_state = best_state
-
         if self.log_dir:
             self._write_history(history)
 
-        return FitResult(history, best_epoch, stopped_early)
+        # Final weights are the last trained epoch's (reference keeps the
+        # last epoch, not the best).
+        return FitResult(history, int(best_epoch), bool(stopped))
 
     # ------------------------------------------------------------------
     def predict(self, x: np.ndarray) -> np.ndarray:

@@ -48,7 +48,7 @@ def compute_classification_metrics(
                 metric_func = getattr(skmetrics, m)
             except AttributeError:
                 raise ValueError(
-                    f"Metric '{m}' is not recognized in sklearn.metrics, and "
+                    f"'{m}' is neither a built-in metric "
                     f"not part of the supported metrics: {list(metric_funcs.keys())}."
                 )
             if "average" in metric_func.__code__.co_varnames:
@@ -71,7 +71,7 @@ def compute_classification_metrics_joint(
     first-target-major ordering (``metrics.py:114-139``).
     """
     if set(all_true.keys()) != set(all_preds.keys()):
-        raise ValueError("Keys in all_true and all_preds must match.")
+        raise ValueError("all_true and all_preds must cover the same targets.")
 
     targets = list(all_true.keys())
     all_true = {t: np.asarray(all_true[t]).astype(int) for t in targets}

@@ -201,3 +201,74 @@ class TestExtractSamples:
         np.testing.assert_array_equal(out["audio"][1], t[1200:1300])
         np.testing.assert_array_equal(out["tone"], [0, 2])
         np.testing.assert_array_equal(out["syllable"], [0, 1])
+
+
+class TestUnlabelledCollector:
+    """Sliding-window self-supervised collector
+    (parity with /root/reference/data_loading/dataloaders.py:77-170)."""
+
+    def _write(self, d, name, c=3, t=500):
+        rng = np.random.default_rng(hash(name) % 2**31)
+        data = rng.standard_normal((c, t)).astype(np.float32)
+        np.savez(os.path.join(d, name), data=data, sf=100.0)
+        return data
+
+    def test_windows_match_naive_loop(self, tmp_path):
+        from decode_tonal_langauge_tpu.data.unlabelled import (
+            collect_unlabelled_samples,
+            sliding_window_patches,
+        )
+
+        data = self._write(tmp_path, "B1_ecog.npz")
+        seg, patch, step = 64, 16, 32
+        got = collect_unlabelled_samples(str(tmp_path), patch, seg, step)
+
+        expected = []
+        for start in range(0, data.shape[1] - seg + 1, step):
+            segment = data[:, start : start + seg]
+            expected.append(segment.reshape(data.shape[0], seg // patch, patch))
+        expected = np.stack(expected)
+        np.testing.assert_array_equal(got, expected)
+        # and the stride-view helper agrees with the public API
+        np.testing.assert_array_equal(
+            sliding_window_patches(data, patch, seg, step), expected
+        )
+
+    def test_default_step_is_half_segment(self, tmp_path):
+        from decode_tonal_langauge_tpu.data.unlabelled import (
+            collect_unlabelled_samples,
+        )
+
+        self._write(tmp_path, "B1_ecog.npz", t=200)
+        got = collect_unlabelled_samples(str(tmp_path), 10, 100)
+        assert got.shape == (3, 3, 10, 10)  # starts 0, 50, 100
+
+    def test_kword_filter_and_multi_file(self, tmp_path):
+        from decode_tonal_langauge_tpu.data.unlabelled import (
+            collect_unlabelled_samples,
+        )
+
+        self._write(tmp_path, "B1_ecog.npz", t=128)
+        self._write(tmp_path, "B2_ecog.npz", t=128)
+        self._write(tmp_path, "B1_audio.npz", t=128)
+        got = collect_unlabelled_samples(
+            str(tmp_path), 8, 64, 64, kwords=["ecog"]
+        )
+        assert got.shape == (4, 3, 8, 8)  # 2 windows per ecog file
+
+    def test_indivisible_segment_raises(self, tmp_path):
+        from decode_tonal_langauge_tpu.data.unlabelled import (
+            collect_unlabelled_samples,
+        )
+
+        self._write(tmp_path, "B1_ecog.npz")
+        with pytest.raises(ValueError, match="multiple"):
+            collect_unlabelled_samples(str(tmp_path), 7, 64)
+
+    def test_empty_folder_raises(self, tmp_path):
+        from decode_tonal_langauge_tpu.data.unlabelled import (
+            collect_unlabelled_samples,
+        )
+
+        with pytest.raises(ValueError, match="No unlabelled samples"):
+            collect_unlabelled_samples(str(tmp_path), 8, 64)

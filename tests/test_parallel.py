@@ -199,6 +199,55 @@ class TestBatchStatsStep:
         )
 
 
+class TestDistributed:
+    """Multi-host helpers (single-process semantics + explicit-arg math)."""
+
+    def test_host_shard_single_process_is_identity(self):
+        from decode_tonal_langauge_tpu.parallel.distributed import host_shard
+
+        items = ["a", "b", "c"]
+        assert host_shard(items) == items
+
+    def test_host_shard_round_robin(self):
+        from decode_tonal_langauge_tpu.parallel.distributed import host_shard
+
+        items = list(range(10))
+        shards = [host_shard(items, p, 3) for p in range(3)]
+        assert shards[0] == [0, 3, 6, 9]
+        assert shards[1] == [1, 4, 7]
+        assert shards[2] == [2, 5, 8]
+        # partition property: disjoint and complete
+        assert sorted(sum(shards, [])) == items
+
+    def test_host_shard_bad_process_id(self):
+        from decode_tonal_langauge_tpu.parallel.distributed import host_shard
+
+        with pytest.raises(ValueError):
+            host_shard([1, 2], process_id=5, process_count=2)
+
+    def test_initialize_noop_without_cluster(self, monkeypatch):
+        from decode_tonal_langauge_tpu.parallel import distributed
+
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        assert distributed.initialize() is False
+
+    def test_global_mesh_over_all_devices(self, devices_8):
+        from decode_tonal_langauge_tpu.parallel.distributed import global_mesh
+
+        mesh = global_mesh(("data",))
+        assert mesh.devices.size == len(jax.devices())
+        mesh2 = global_mesh(("data", "device"))
+        assert mesh2.devices.shape == (
+            len(jax.devices()) // jax.local_device_count(),
+            jax.local_device_count(),
+        )
+
+    def test_barrier_noop_single_process(self):
+        from decode_tonal_langauge_tpu.parallel.distributed import barrier
+
+        barrier("test")  # must not raise or hang
+
+
 class TestGraftEntry:
     def test_entry_forward(self):
         sys.path.insert(0, "/root/repo")

@@ -1,0 +1,98 @@
+"""Runtime subsystem tests: profiling hooks and Orbax checkpoint round-trip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from decode_tonal_langauge_tpu.runtime import checkpoint, profiling
+
+
+class TestProfiling:
+    def test_timed_returns_result_and_rate(self):
+        f = jax.jit(lambda x: x * 2.0)
+        x = jnp.ones((8, 8))
+        result, per_call = profiling.timed(f, x, warmup=1, repeats=3)
+        np.testing.assert_allclose(np.asarray(result), 2.0)
+        assert per_call > 0
+
+    def test_stage_timer_accumulates_and_summarises(self):
+        timer = profiling.StageTimer()
+        with timer.span("a"):
+            pass
+        with timer.span("a"):
+            pass
+        with timer.span("b"):
+            pass
+        assert set(timer.spans) == {"a", "b"}
+        summary = timer.summary()
+        assert "a:" in summary and "%" in summary
+
+    def test_trace_noop_without_dir(self):
+        with profiling.trace(None):
+            jnp.ones(3).sum()
+
+    def test_trace_writes_profile(self, tmp_path):
+        with profiling.trace(str(tmp_path)):
+            jax.jit(lambda x: x + 1)(jnp.ones(4)).sum()
+        # jax writes plugins/profile/<ts>/*.pb under the trace dir
+        found = [
+            os.path.join(dirpath, f)
+            for dirpath, _, files in os.walk(tmp_path)
+            for f in files
+        ]
+        assert found, "profiler trace produced no files"
+
+
+class TestCheckpoint:
+    def test_params_roundtrip(self, tmp_path, rng):
+        tree = {
+            "dense": {
+                "kernel": jnp.asarray(
+                    rng.standard_normal((4, 3)).astype(np.float32)
+                ),
+                "bias": jnp.zeros(3),
+            },
+            "scale": jnp.float32(2.5),
+        }
+        path = checkpoint.save_params(str(tmp_path / "ckpt"), tree)
+        restored = checkpoint.load_params(path)
+        assert jax.tree_util.tree_structure(
+            restored
+        ) == jax.tree_util.tree_structure(tree)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(tree), jax.tree_util.tree_leaves(restored)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_roundtrip_with_like_structure(self, tmp_path, rng):
+        tree = {"w": jnp.asarray(rng.standard_normal((2, 2)).astype(np.float32))}
+        path = checkpoint.save_params(str(tmp_path / "ckpt2"), tree)
+        restored = checkpoint.load_params(path, like=tree)
+        np.testing.assert_array_equal(np.asarray(restored["w"]), np.asarray(tree["w"]))
+        assert restored["w"].dtype == tree["w"].dtype
+
+    def test_trainer_checkpoint_resume(self, tmp_path, rng):
+        """Save a trained classifier's params and restore into a fresh
+        trainer: predictions must match (the synthesizer's pretrained-load
+        path)."""
+        from decode_tonal_langauge_tpu.models.simple import (
+            LogisticRegressionClassifier,
+        )
+        from decode_tonal_langauge_tpu.training.trainer import ClassifierTrainer
+
+        x = rng.standard_normal((32, 8)).astype(np.float32)
+        y = rng.integers(0, 2, 32).astype(np.int32)
+        x[y == 1] += 2.0
+
+        model = LogisticRegressionClassifier(input_dim=8, n_classes=2)
+        t1 = ClassifierTrainer(model, n_classes=2, batch_size=8, max_epochs=3)
+        t1.fit(x, y, x, y)
+        path = checkpoint.save_params(str(tmp_path / "clf"), t1.params)
+
+        t2 = ClassifierTrainer(model, n_classes=2, batch_size=8)
+        t2.init(x)
+        t2.params = checkpoint.load_params(path, like=t2.params)
+        np.testing.assert_array_equal(t1.predict(x), t2.predict(x))

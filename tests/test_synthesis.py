@@ -74,6 +74,45 @@ class TestSynthesisTrainer:
         assert origin.shape == mels.shape
         assert np.isfinite(mcd)
 
+    def test_mesh_parity(self, rng):
+        """Meshed (DP over 8 virtual devices) and single-device training
+        must produce the same loss curve."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from decode_tonal_langauge_tpu.parallel.mesh import make_mesh
+
+        ecog_non, ecog_syll, ecog_tone, mels, _, _ = _toy_synthesis_data(rng)
+        c_cls, t = ecog_syll.shape[1], ecog_syll.shape[2]
+        tone_model = LogisticRegressionClassifier(input_dim=c_cls * t, n_classes=4)
+        syll_model = LogisticRegressionClassifier(input_dim=c_cls * t, n_classes=2)
+        tone_vars = tone_model.init(
+            {"params": jax.random.key(0)}, ecog_tone[:1], train=False
+        )
+        syll_vars = syll_model.init(
+            {"params": jax.random.key(1)}, ecog_syll[:1], train=False
+        )
+        data = (ecog_non, ecog_syll, ecog_tone, mels)
+
+        def run(mesh):
+            model = SynthesisLite(
+                output_dim=mels.shape[1], n_channels=ecog_non.shape[1],
+                n_timepoints=t,
+            )
+            trainer = SynthesisTrainer(
+                model, tone_model, tone_vars, syll_model, syll_vars,
+                TONE_MAPPING, learning_rate=2e-3, seed=0, verbose=False,
+                mesh=mesh,
+            )
+            return trainer.train(data, epochs=3, batch_size=8, verbose=False)
+
+        h1 = run(None)
+        h2 = run(make_mesh(8, axis_names=("data",)))
+        for (l1, m1), (l2, m2) in zip(h1, h2):
+            assert l1 == pytest.approx(l2, rel=1e-4)
+            assert m1 == pytest.approx(m2, rel=1e-4)
+
 
 class TestSynthesizerCLI:
     def test_end_to_end(self, rng, tmp_path):
