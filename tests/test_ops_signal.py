@@ -141,6 +141,75 @@ class TestIIR:
         np.testing.assert_allclose(ours, ref, rtol=5e-3, atol=5e-4)
 
 
+class TestIIRLongSignals:
+    """Recording-length signals route to the block-state / frequency-domain
+    kernels (a timestep scan is ~100x slower on TPU); parity vs SciPy."""
+
+    def test_lfilter_blocked_matches_scipy(self, rng):
+        b, a = sps.butter(2, [0.1, 0.4], btype="bandpass")
+        x = _sig(rng, 3, 20000)
+        assert x.shape[-1] > iir.IIR_SCAN_LIMIT
+        ours = np.asarray(iir.lfilter(b, a, x))
+        ref = sps.lfilter(b, a, x.astype(np.float64), axis=-1)
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+    def test_lfilter_blocked_with_zi_and_tail(self, rng):
+        # 20001 is not a multiple of the block size: exercises the
+        # remainder-tail scan and the final-state handoff
+        b, a = sps.butter(2, 0.2)
+        x = _sig(rng, 2, 20001)
+        zi = sps.lfilter_zi(b, a).astype(np.float32)
+        ours, zf = iir.lfilter(b, a, x, zi=zi * x[:, :1])
+        ref, ref_zf = sps.lfilter(
+            b, a, x.astype(np.float64), axis=-1,
+            zi=zi[None, :] * x[:, :1].astype(np.float64),
+        )
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(zf), ref_zf, rtol=1e-2, atol=1e-3)
+
+    def test_sosfilt_blocked_matches_scipy(self, rng):
+        sos = sps.butter(4, [0.1, 0.4], btype="bandpass", output="sos")
+        x = _sig(rng, 2, 20000)
+        ours = np.asarray(iir.sosfilt(sos, x))
+        ref = sps.sosfilt(sos, x.astype(np.float64), axis=-1)
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+    def test_filtfilt_fft_interior_matches_scipy(self, rng):
+        b, a = sps.butter(4, [0.05, 0.45], btype="bandpass")
+        x = _sig(rng, 2, 20000)
+        ours = np.asarray(iir.filtfilt(b, a, x))
+        ref = sps.filtfilt(b, a, x.astype(np.float64), axis=-1)
+        # frequency-domain zero-phase: edge transients differ from SciPy's
+        # odd-padding recursion, the interior matches
+        np.testing.assert_allclose(
+            ours[:, 300:-300], ref[:, 300:-300], rtol=5e-3, atol=5e-4
+        )
+
+    def test_near_dc_band_gains(self):
+        # a 1 Hz band edge at 1 kHz defeats f32 recursive filtering; the
+        # |H|^2 frequency-domain path must keep the passband at unit gain
+        # and crush the stopbands
+        fs = 1000.0
+        t = np.arange(20000) / fs
+        x = (
+            np.sin(2 * np.pi * 0.1 * t)
+            + np.sin(2 * np.pi * 20.0 * t)
+            + np.sin(2 * np.pi * 300.0 * t)
+        ).astype(np.float32)[None]
+        y = np.asarray(
+            iir.butter_filter(x, (1.0, 100.0), fs=fs, order=4)
+        )
+        mid = slice(6000, -6000)
+
+        def tone_amp(sig, f):
+            ph = np.exp(-2j * np.pi * f * t[mid])
+            return 2 * np.abs((sig[0, mid] * ph).mean())
+
+        assert tone_amp(y, 20.0) == pytest.approx(1.0, abs=0.01)
+        assert tone_amp(y, 0.1) < 0.05
+        assert tone_amp(y, 300.0) < 0.01
+
+
 class TestFIR:
     def test_causal_fir_matches_lfilter(self, rng):
         taps = sps.firwin(91, [0.2, 0.3], pass_zero=False)
