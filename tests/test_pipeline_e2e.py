@@ -172,7 +172,7 @@ def test_pipeline_deep_cnn(tmp_path):
     spec = SyntheticSpec(
         n_channels=8,
         n_blocks=1,
-        trials_per_block=32,
+        trials_per_block=16,
         ecog_sf=400.0,
         audio_sf=800.0,
         active_channels=tuple(range(8)),
@@ -190,8 +190,11 @@ def test_pipeline_deep_cnn(tmp_path):
     exp = config["training"]["params"]["experiment"]
     exp["targets"] = ["syllable"]
     tr = config["training"]["params"]["training"]
-    tr["epochs"] = 2
-    tr["patience"] = 2
+    # 1 epoch at tiny shapes: the paper CNN is heavy on the CPU test
+    # backend; this covers the deep-model YAML path, not convergence
+    tr["epochs"] = 1
+    tr["patience"] = 1
+    tr["batch_size"] = 8
     outputs = run_pipeline(config)
 
     results = pd.read_csv(os.path.join(outputs["training"], "results.csv"))
