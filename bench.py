@@ -253,9 +253,75 @@ def _torch_cpu_train_step_time(x, y, n_classes):
     return (time.perf_counter() - t0) / n_runs
 
 
+def bench_audio_codec(batch: int = 64, duration_s: float = 1.0,
+                      sr: float = 24414.0, n_fft: int = 2048,
+                      hop: int = 512, n_mels: int = 128):
+    """Mel-spectrogram throughput (frames/sec): the synthesis path's
+    audio-codec hot loop (per-trial audio -> mel, SURVEY.md §3.4) on the
+    chip vs a faithful NumPy floor (librosa-style frame/rfft/mel-matmul)."""
+    import jax
+    import jax.numpy as jnp
+
+    from decode_tonal_langauge_tpu.ops.stft import (
+        hann_window,
+        mel_filterbank,
+        power_to_db,
+        stft_magsq,
+    )
+
+    t = int(sr * duration_s)
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((batch, t)).astype(np.float32)
+    basis = jnp.asarray(mel_filterbank(sr, n_fft, n_mels), dtype=jnp.float32)
+    n_frames = 1 + t // hop  # centered STFT
+
+    def one(y):
+        S = stft_magsq(y, n_fft, hop)
+        return power_to_db(basis @ S, ref=None)
+
+    batched = jax.vmap(one)
+
+    n_runs = 30
+
+    @jax.jit
+    def run_n(x):
+        def body(i, acc):
+            return acc + batched(x * (1.0 + 1e-6 * i)).sum()
+        return jax.lax.fori_loop(0, n_runs, body, jnp.float32(0.0))
+
+    xd = jax.device_put(audio)
+    float(run_n(xd))  # compile + warmup
+    overhead = _readback_overhead()
+    t0 = time.perf_counter()
+    float(run_n(xd))
+    tpu_s = max(time.perf_counter() - t0 - overhead, 1e-9) / n_runs
+
+    # NumPy floor: same mel pipeline per trial (the reference loops
+    # librosa per trial, train_synthesizer.py:189-197)
+    win = hann_window(n_fft).astype(np.float32)
+    basis_np = np.asarray(basis)
+    t0 = time.perf_counter()
+    for y in audio:
+        yp = np.pad(y, (n_fft // 2, n_fft // 2))
+        frames = np.lib.stride_tricks.sliding_window_view(yp, n_fft)[::hop]
+        S = np.abs(np.fft.rfft(frames * win, axis=-1)) ** 2
+        mel = basis_np @ S.T
+        ref = np.maximum(mel.max(), 1e-10)
+        np.maximum(10.0 * np.log10(np.maximum(mel, 1e-10) / ref),
+                   10.0 * np.log10(np.maximum(mel, 1e-10) / ref).max() - 80.0)
+    cpu_s = time.perf_counter() - t0
+
+    frames_total = batch * n_frames
+    return {
+        "mel_frames_per_s": frames_total / tpu_s,
+        "mel_speedup": cpu_s / tpu_s,
+    }
+
+
 def main():
     pre = bench_preprocess()
     train = bench_training()
+    audio = bench_audio_codec()
 
     print(
         json.dumps(
@@ -273,6 +339,8 @@ def main():
                     if train["train_speedup"]
                     else None
                 ),
+                "mel_frames_per_s": round(audio["mel_frames_per_s"], 1),
+                "mel_vs_numpy_cpu": round(audio["mel_speedup"], 2),
             }
         )
     )

@@ -31,7 +31,7 @@ Parity targets:
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Tuple, Union
 
 import jax
@@ -121,6 +121,18 @@ def _ba_state_space(b: np.ndarray, a: np.ndarray):
 
 
 def _block_iir_tables(b, a, block: int):
+    """Cached wrapper: the table build loops ``block`` small matmuls and
+    recurs per call (e.g. per recording block of a session)."""
+    return _block_iir_tables_cached(
+        tuple(np.asarray(b, np.float64).tolist()),
+        tuple(np.asarray(a, np.float64).tolist()),
+        block,
+    )
+
+
+
+@lru_cache(maxsize=64)
+def _block_iir_tables_cached(b, a, block: int):
     """Host-side (float64) precompute for the block-state form.
 
     Returns (T, M, K, P):

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 from fractions import Fraction
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +66,15 @@ def fft_resample(x: jax.Array, num: int) -> jax.Array:
 
     y = jnp.fft.irfft(Y, n=num, axis=-1)
     return (y * (float(num) / float(nx))).astype(x.dtype)
+
+
+@lru_cache(maxsize=32)
+def _polyphase_tables(up: int, down: int):
+    """Cached (weights, pad_left) for a rate pair — the host-side filter
+    design + phase packing costs ~ms and recurs for every block of a
+    recording session."""
+    h = resample_poly_filter(up, down)
+    return _polyphase_conv_weights(up, down, h)
 
 
 def resample_poly_filter(up: int, down: int) -> np.ndarray:
@@ -159,8 +168,7 @@ def polyphase_resample(x: jax.Array, up: int, down: int) -> jax.Array:
     if up == 1 and down == 1:
         return x
 
-    h = resample_poly_filter(up, down)
-    w, pad_left = _polyphase_conv_weights(up, down, h)
+    w, pad_left = _polyphase_tables(up, down)
     n_out = -(-x.shape[-1] * up // down)
 
     x = jnp.asarray(x)
