@@ -158,23 +158,77 @@ def _polyphase_apply(
     return y[:, :n_out].astype(x.dtype)
 
 
+# Above this many polyphase phases, the conv formulation's weight tensor
+# (up x W) and its output transpose blow past VMEM; the gather form's
+# footprint is independent of `up`.
+_CONV_PHASE_LIMIT = 256
+
+
+@lru_cache(maxsize=32)
+def _phase_tap_table(up: int, down: int):
+    """(Hphase (up, J), D): per-phase tap table for the gather form.
+
+    ``y[m] = sum_j Hphase[(m*down + D) % up, j] * x[(m*down + D)//up - j]``
+    """
+    h = resample_poly_filter(up, down)
+    L = len(h)
+    D = (L - 1) // 2
+    J = -(-L // up)
+    Hphase = np.zeros((up, J))
+    for q in range(up):
+        k = up * np.arange(J) + q
+        valid = k < L
+        Hphase[q, valid] = h[k[valid]]
+    return Hphase, D
+
+
+@partial(jax.jit, static_argnames=("up", "down", "n_out"))
+def _polyphase_apply_gather(
+    x: jax.Array, Hphase: jax.Array, D: jax.Array, up: int, down: int, n_out: int
+) -> jax.Array:
+    """Gather formulation: windows of J input samples per output, taps
+    selected by output phase. (C, T) -> (C, n_out)."""
+    J = Hphase.shape[1]
+    m = jnp.arange(n_out)
+    pos = m * down + D
+    b = pos // up
+    p = pos % up
+
+    idx = b[:, None] - jnp.arange(J)[None, :]  # (n_out, J)
+    valid = (idx >= 0) & (idx < x.shape[-1])
+    idxc = jnp.clip(idx, 0, x.shape[-1] - 1)
+    xw = x[..., idxc]  # (C, n_out, J)
+    taps = jnp.where(valid, Hphase[p], 0.0).astype(x.dtype)  # zero padding
+    return jnp.einsum(
+        "cmj,mj->cm", xw, taps, precision=jax.lax.Precision.HIGHEST
+    ).astype(x.dtype)
+
+
 def polyphase_resample(x: jax.Array, up: int, down: int) -> jax.Array:
     """``scipy.signal.resample_poly(x, up, down, axis=-1)`` on device.
 
-    ``x`` is (..., T) real; leading axes are flattened into the conv batch.
+    ``x`` is (..., T) real; leading axes are flattened into the batch.
+    Small phase counts use the strided-conv form (MXU); large ones (odd
+    rational rates, e.g. TDT's 3051.7578125 Hz) the gather form.
     """
     g = math.gcd(up, down)
     up, down = up // g, down // g
     if up == 1 and down == 1:
         return x
 
-    w, pad_left = _polyphase_tables(up, down)
     n_out = -(-x.shape[-1] * up // down)
-
     x = jnp.asarray(x)
     lead = x.shape[:-1]
     flat = x.reshape((-1, x.shape[-1]))
-    y = _polyphase_apply(flat, jnp.asarray(w), up, down, n_out, pad_left)
+
+    if up <= _CONV_PHASE_LIMIT:
+        w, pad_left = _polyphase_tables(up, down)
+        y = _polyphase_apply(flat, jnp.asarray(w), up, down, n_out, pad_left)
+    else:
+        Hphase, D = _phase_tap_table(up, down)
+        y = _polyphase_apply_gather(
+            flat, jnp.asarray(Hphase, dtype=jnp.float32), D, up, down, n_out
+        )
     return y.reshape(lead + (n_out,))
 
 

@@ -41,6 +41,22 @@ class TestResample:
         ) * up
         np.testing.assert_allclose(ours, ref, rtol=1e-12, atol=1e-14)
 
+    def test_gather_path_for_odd_rational_rates(self, rng):
+        # TDT hardware rates (3051.7578125 Hz) reduce to huge phase
+        # counts (up=1109 here) that the conv formulation cannot fit in
+        # VMEM; the gather path must kick in and keep scipy parity
+        from fractions import Fraction
+
+        x = _sig(rng, 2, 30518)
+        y = np.asarray(resample.resample_to_rate(x, 3051.7578125, 400.0))
+        fr = (Fraction(400) / Fraction(3051.7578125)).limit_denominator(10000)
+        assert fr.numerator > resample._CONV_PHASE_LIMIT
+        ref = sps.resample_poly(
+            x.astype(np.float64), fr.numerator, fr.denominator, axis=-1
+        )
+        n = min(y.shape[-1], ref.shape[-1])
+        np.testing.assert_allclose(y[:, :n], ref[:, :n], rtol=1e-4, atol=1e-5)
+
     def test_rate_helper_poly_long_signal(self, rng):
         # Above FFT_LENGTH_LIMIT the helper must auto-route to polyphase
         # and keep the reference's int() output-length rule.
