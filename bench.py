@@ -279,6 +279,60 @@ def _torch_cpu_train_step_time(x, y, n_classes):
     return (time.perf_counter() - t0) / n_runs
 
 
+def bench_training_cnnrnn(batch: int = 32, channels: int = 32,
+                          length: int = 200, n_classes: int = 4):
+    """CNN-RNN (paper tone model) train-step throughput on the chip.
+
+    Conv-bound, not LSTM-bound: the 1024-wide k=(7,1) stack dominates;
+    measured ~roofline. No torch floor (it would add minutes of CPU)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from decode_tonal_langauge_tpu.models.deep import CNNRNNClassifier
+    from decode_tonal_langauge_tpu.training.optim import nadam_with_decay_groups
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.standard_normal((batch, channels, length)).astype(np.float32)
+    )
+    y = jnp.asarray(rng.integers(0, n_classes, batch).astype(np.int32))
+    model = CNNRNNClassifier(
+        input_channels=channels, input_length=length, n_classes=n_classes
+    )
+    params = model.init({"params": jax.random.key(0)}, x, train=False)["params"]
+    optimizer = nadam_with_decay_groups(5e-4, weight_decay=1e-4)
+    opt_state = optimizer.init(params)
+
+    def step(carry, _):
+        params, opt_state, key = carry
+        key, dk = jax.random.split(key)
+
+        def loss_fn(p):
+            out = model.apply({"params": p}, x, train=True, rngs={"dropout": dk})
+            return optax.softmax_cross_entropy_with_integer_labels(out, y).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state, key), loss
+
+    n_runs = 20
+
+    @jax.jit
+    def run_n(params, opt_state, key):
+        (_, _, _), losses = jax.lax.scan(
+            step, (params, opt_state, key), None, length=n_runs
+        )
+        return losses.sum()
+
+    float(run_n(params, opt_state, jax.random.key(1)))  # compile + warmup
+    overhead = _readback_overhead()
+    t0 = time.perf_counter()
+    float(run_n(params, opt_state, jax.random.key(1)))
+    per_step = max(time.perf_counter() - t0 - overhead, 1e-9) / n_runs
+    return {"cnnrnn_steps_per_s": 1.0 / per_step}
+
+
 def bench_audio_codec(batch: int = 64, duration_s: float = 1.0,
                       sr: float = 24414.0, n_fft: int = 2048,
                       hop: int = 512, n_mels: int = 128):
@@ -347,6 +401,7 @@ def bench_audio_codec(batch: int = 64, duration_s: float = 1.0,
 def main():
     pre = bench_preprocess()
     train = bench_training()
+    rnn = bench_training_cnnrnn()
     audio = bench_audio_codec()
 
     print(
@@ -365,6 +420,7 @@ def main():
                     if train["train_speedup"]
                     else None
                 ),
+                "cnnrnn_train_steps_per_s": round(rnn["cnnrnn_steps_per_s"], 2),
                 "mel_frames_per_s": round(audio["mel_frames_per_s"], 1),
                 "mel_vs_numpy_cpu": round(audio["mel_speedup"], 2),
             }
