@@ -153,6 +153,13 @@ def _plot_event_snapshots(intervals, subject_path, figure_root, subject_id) -> N
 
 
 def _generate_output_dir_name(base_name: str, collection_cfg: dict) -> str:
-    hash_input = yaml.dump(collection_cfg, sort_keys=True)
+    # Hash only the extraction semantics (subjects + settings), not the
+    # io section: the reference hashes the whole section, which means
+    # flipping `overwrite` or moving output paths silently lands in a
+    # fresh cache dir (defeating both the cache and the overwrite flag).
+    params = dict(collection_cfg.get("params", {}) or {})
+    params.pop("io", None)
+    hashed_cfg = {**collection_cfg, "params": params}
+    hash_input = yaml.dump(hashed_cfg, sort_keys=True)
     hash_part = hashlib.md5(hash_input.encode()).hexdigest()[:6]
     return f"{base_name}__{hash_part}"

@@ -173,9 +173,25 @@ class TestExtractSamples:
         assert data["ecog_rest"].shape[1:] == (6, 500)
         assert float(data["ecog_sf"]) == 500.0
 
-        # skip-if-exists
+        # skip-if-exists: the hashed stage cache must not recompute
+        mtime = os.path.getmtime(sample_path)
         out_dir2 = extract_run(config)
         assert out_dir2 == out_dir
+        assert os.path.getmtime(sample_path) == mtime
+
+        # overwrite forces re-extraction into the same hashed dir
+        config["sample_collection"]["params"]["io"]["overwrite"] = True
+        out_dir3 = extract_run(config)
+        assert out_dir3 == out_dir
+        assert os.path.getmtime(sample_path) >= mtime
+        data2 = np.load(os.path.join(out_dir3, "subject_1.npz"))
+        np.testing.assert_array_equal(data2["tone"], data["tone"])
+
+        # a changed extraction setting must hash to a DIFFERENT dir
+        config["sample_collection"]["params"]["io"]["overwrite"] = False
+        config["sample_collection"]["params"]["subjects"][1]["sample_length"] = 0.5
+        out_dir4 = extract_run(config)
+        assert out_dir4 != out_dir
 
     def test_epoch_alignment_values(self, tmp_path):
         # hand-built recording with a ramp so slicing is verifiable
