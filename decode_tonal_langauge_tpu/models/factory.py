@@ -50,4 +50,9 @@ def get_classifier_by_name(
 
     allowed = {f.name for f in dataclasses.fields(cls)}
     kwargs = {k: v for k, v in base_kwargs.items() if k in allowed}
+    if isinstance(kwargs.get("dtype"), str):
+        # YAML configs name compute dtypes as strings: {dtype: bfloat16}
+        import jax.numpy as jnp
+
+        kwargs["dtype"] = jnp.dtype(kwargs["dtype"])
     return cls(**kwargs)

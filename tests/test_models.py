@@ -185,3 +185,39 @@ class TestFactory:
             classifier_kwargs={"hidden_dim": 7},
         )
         assert model.hidden_dim == 7
+
+
+class TestComputeDtype:
+    """bfloat16 compute path: MXU-native, params stay f32, output f32."""
+
+    def test_cnn_bf16_forward_and_params(self, rng):
+        model = CNNClassifier(
+            input_channels=4, input_length=200, n_classes=2,
+            dtype=jnp.bfloat16,
+        )
+        x = jnp.asarray(rng.standard_normal((2, 4, 200)).astype(np.float32))
+        variables = model.init({"params": jax.random.key(0)}, x, train=False)
+        # params are kept in f32 (master weights)
+        for leaf in jax.tree_util.tree_leaves(variables["params"]):
+            assert leaf.dtype == jnp.float32
+        out = model.apply(variables, x, train=False)
+        assert out.dtype == jnp.float32
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_cnnrnn_bf16_forward(self, rng):
+        model = CNNRNNClassifier(
+            input_channels=4, input_length=200, n_classes=4,
+            lstm_dim=800, dtype=jnp.bfloat16,
+        )
+        x = jnp.asarray(rng.standard_normal((2, 4, 200)).astype(np.float32))
+        variables = model.init({"params": jax.random.key(0)}, x, train=False)
+        out = model.apply(variables, x, train=False)
+        assert out.shape == (2, 4) and out.dtype == jnp.float32
+
+    def test_factory_coerces_dtype_string(self):
+        model = get_classifier_by_name(
+            "models.deep_classifiers.CNNClassifier",
+            n_classes=2, n_channels=4, seq_length=200,
+            classifier_kwargs={"dtype": "bfloat16"},
+        )
+        assert model.dtype == jnp.bfloat16
