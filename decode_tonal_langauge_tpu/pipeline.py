@@ -98,6 +98,15 @@ def update_stage_cfg_io(stage_outputs: dict, stage: str, stage_cfg: dict) -> Non
             and "channel_selection" in stage_outputs
         ):
             params_io["channel_selection_dir"] = stage_outputs["channel_selection"]
+    elif stage == "visualisation":
+        params_io = stage_cfg.setdefault("params", {}).setdefault("io", {})
+        if "results_dir" not in params_io and "training" in stage_outputs:
+            params_io["results_dir"] = stage_outputs["training"]
+        if (
+            "channel_selection_dir" not in params_io
+            and "channel_selection" in stage_outputs
+        ):
+            params_io["channel_selection_dir"] = stage_outputs["channel_selection"]
 
 
 if __name__ == "__main__":

@@ -163,6 +163,13 @@ def _pipeline_config(tmp_path):
             "metrics": ["accuracy", "f1_score", "confusion_matrix"],
             "metric_aggregates": ["mean", "std"],
         },
+        "visualisation": {
+            "module": "visualisation_main",
+            "params": {
+                "metrics": ["accuracy"],
+                "chance_levels": {"accuracy": 0.125},
+            },
+        },
     }
 
 
@@ -254,3 +261,12 @@ def test_full_pipeline(tmp_path):
         os.path.join(outputs["training"], "figures/subject_1/confusion_matrix.png")
     )
     assert os.path.exists(os.path.join(outputs["training"], "config.yaml"))
+
+    # visualisation stage consumed the training + selection outputs
+    assert "visualisation" in outputs
+    assert os.path.exists(
+        os.path.join(outputs["visualisation"], "accuracy_by_subject.png")
+    )
+    assert os.path.exists(
+        os.path.join(outputs["visualisation"], "subject_1_channel_venn.png")
+    )
