@@ -248,13 +248,18 @@ def _torch_cpu_train_step_time(x, y, n_classes):
         return None
 
     batch, channels, length = x.shape
-    widths = [512, 512, 512, 512, 256, 256]
+    # exact CNNClassifier topology: 6 VALID convs k=(3,1), widths
+    # 512x5 + 256, pool after every block except the 5th
+    widths = [512, 512, 512, 512, 512, 256]
     layers = []
     in_ch, t = 1, length
-    for wdt in widths:
-        layers += [nn.Conv2d(in_ch, wdt, (3, 1), padding=(1, 0)),
-                   nn.LeakyReLU(), nn.MaxPool2d((2, 1))]
-        in_ch, t = wdt, t // 2
+    for i, wdt in enumerate(widths):
+        layers += [nn.Conv2d(in_ch, wdt, (3, 1)), nn.LeakyReLU()]
+        t = t - 2
+        if i != 4:
+            layers += [nn.MaxPool2d((2, 1))]
+            t = t // 2
+        in_ch = wdt
     model = nn.Sequential(
         *layers, nn.Flatten(),
         nn.Linear(256 * t * channels, 1024), nn.LeakyReLU(),
@@ -387,8 +392,8 @@ def bench_audio_codec(batch: int = 64, duration_s: float = 1.0,
         S = np.abs(np.fft.rfft(frames * win, axis=-1)) ** 2
         mel = basis_np @ S.T
         ref = np.maximum(mel.max(), 1e-10)
-        np.maximum(10.0 * np.log10(np.maximum(mel, 1e-10) / ref),
-                   10.0 * np.log10(np.maximum(mel, 1e-10) / ref).max() - 80.0)
+        db = 10.0 * np.log10(np.maximum(mel, 1e-10) / ref)
+        np.maximum(db, db.max() - 80.0)
     cpu_s = time.perf_counter() - t0
 
     frames_total = batch * n_frames

@@ -153,12 +153,15 @@ def _plot_event_snapshots(intervals, subject_path, figure_root, subject_id) -> N
 
 
 def _generate_output_dir_name(base_name: str, collection_cfg: dict) -> str:
-    # Hash only the extraction semantics (subjects + settings), not the
-    # io section: the reference hashes the whole section, which means
-    # flipping `overwrite` or moving output paths silently lands in a
-    # fresh cache dir (defeating both the cache and the overwrite flag).
+    # Hash only inputs that change the extracted samples: subjects +
+    # settings + the annotation source (textgrid_root). Volatile io keys
+    # (overwrite, output/figure paths) stay out — the reference hashes
+    # the whole section, so flipping `overwrite` silently lands in a
+    # fresh cache dir (defeating both the cache and the flag).
     params = dict(collection_cfg.get("params", {}) or {})
-    params.pop("io", None)
+    io_cfg = params.pop("io", None) or {}
+    if io_cfg.get("textgrid_root") is not None:
+        params["textgrid_root"] = io_cfg["textgrid_root"]
     hashed_cfg = {**collection_cfg, "params": params}
     hash_input = yaml.dump(hashed_cfg, sort_keys=True)
     hash_part = hashlib.md5(hash_input.encode()).hexdigest()[:6]

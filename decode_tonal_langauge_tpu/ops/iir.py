@@ -350,7 +350,7 @@ def _zero_phase_fft_core(x_ext, h2, nfft: int, padlen: int, t: int):
     return y[..., padlen : padlen + t].astype(x_ext.dtype)
 
 
-def sos_filtfilt_fft(sos_np: np.ndarray, x: jax.Array, fs: float = 2.0) -> jax.Array:
+def sos_filtfilt_fft(sos_np: np.ndarray, x: jax.Array) -> jax.Array:
     """Zero-phase SOS filtering via the exact squared magnitude response.
 
     ``filtfilt`` IS multiplication by |H(f)|^2 in the frequency domain;
@@ -442,6 +442,6 @@ def butter_filter(
         return sosfilt(sos, data)
     if data.shape[-1] > IIR_SCAN_LIMIT:
         sos = butter_design(order, freqs, fs, filter_type, output="sos")
-        return sos_filtfilt_fft(sos, data, fs=fs)
+        return sos_filtfilt_fft(sos, data)
     b, a = butter_design(order, freqs, fs, filter_type, output="ba")
     return filtfilt(b, a, data)

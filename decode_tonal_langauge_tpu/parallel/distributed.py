@@ -33,10 +33,12 @@ def initialize(
 ) -> bool:
     """Initialise the multi-process JAX runtime if configured.
 
-    Returns True when a multi-process runtime is active afterwards. With
-    no explicit args and no cluster environment (JAX_COORDINATOR_ADDRESS
-    / cloud-TPU metadata), this is a no-op returning False — the
-    single-host path.
+    Returns True when a multi-process runtime is active afterwards.
+    Activation requires an explicit ``coordinator_address`` argument or
+    the ``JAX_COORDINATOR_ADDRESS`` environment variable; with neither,
+    this is a no-op returning False — the single-host path. (Called by
+    the pipeline runner at startup, so multi-host launches only need the
+    env var set on each host.)
     """
     already_multi = jax.process_count() > 1
     if already_multi:

@@ -57,3 +57,66 @@ def replicate(mesh: Mesh, tree):
 
 def batch_spec(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+class DataParallelLayout:
+    """Shared DP layout for the trainers: per-batch sample axis of the
+    scanned (n_batches, B, ...) stacks sharded over ``data``, everything
+    else replicated. ``None`` mesh degrades to a no-op single-device
+    layout so trainers need no branching."""
+
+    def __init__(self, mesh: Optional[Mesh], axis: str = "data"):
+        self.mesh = mesh
+        self.dp = int(mesh.shape[axis]) if mesh is not None else 1
+        self._axis = axis
+        self._replicated = (
+            NamedSharding(mesh, P()) if mesh is not None else None
+        )
+
+    def round_batch(self, batch_size: int) -> int:
+        """Round up so each scanned batch splits evenly over ``data``."""
+        return -(-batch_size // self.dp) * self.dp
+
+    def stack_sharding(self, ndim: int) -> Optional[NamedSharding]:
+        if self.mesh is None:
+            return None
+        return NamedSharding(
+            self.mesh, P(None, self._axis, *([None] * (ndim - 2)))
+        )
+
+    def place_stacks(self, *stacks):
+        """Device-put batch stacks with the per-batch axis sharded."""
+        if self.mesh is None:
+            return stacks
+        return tuple(
+            jax.device_put(s, self.stack_sharding(np.ndim(s))) for s in stacks
+        )
+
+    def replicate_tree(self, tree):
+        """Fully replicate a pytree (params/opt state) across the mesh."""
+        if self.mesh is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(leaf, self._replicated), tree
+        )
+
+    def constrain_stack(self, arr):
+        """`with_sharding_constraint` form of :meth:`stack_sharding` for
+        use inside jit."""
+        if self.mesh is None:
+            return arr
+        return jax.lax.with_sharding_constraint(
+            arr, self.stack_sharding(arr.ndim)
+        )
+
+    # Static-config identity so trainers hashing by config can include
+    # the layout without breaking jit cache sharing.
+    def __hash__(self):
+        return hash((self.mesh, self._axis))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, DataParallelLayout)
+            and self.mesh == other.mesh
+            and self._axis == other._axis
+        )

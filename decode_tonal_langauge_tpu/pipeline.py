@@ -39,6 +39,19 @@ def run_pipeline(config_path_or_dict) -> Dict[str, str]:
         config = config_path_or_dict
     stage_outputs: Dict[str, str] = {}
 
+    # Multi-host bootstrap (no-op without a coordinator address); after
+    # this, host_shard inside the stages splits subjects/blocks by
+    # process.
+    from .parallel.distributed import initialize as distributed_initialize
+
+    if distributed_initialize():
+        import jax
+
+        print(
+            f"multi-host runtime: process {jax.process_index()} "
+            f"of {jax.process_count()}"
+        )
+
     profiling_cfg = config.get("profiling") or {}
     trace_dir = profiling_cfg.get("trace_dir")
     timer = StageTimer()

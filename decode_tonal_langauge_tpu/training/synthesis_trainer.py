@@ -78,18 +78,10 @@ class SynthesisTrainer:
         # With a mesh, the per-batch sample axis of the scanned stacks is
         # sharded over `data` and params replicated (same DP layout as
         # ClassifierTrainer).
-        self.mesh = mesh
-        self._dp = 1
-        self._batch_sharding = None
-        self._replicated = None
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import DataParallelLayout
 
-            self._dp = int(mesh.shape["data"])
-            self._batch_sharding = lambda ndim: NamedSharding(
-                mesh, P(None, "data", *([None] * (ndim - 2)))
-            )
-            self._replicated = NamedSharding(mesh, P())
+        self.mesh = mesh
+        self._layout = DataParallelLayout(mesh)
 
         table, _ = tone_dynamics_table(tone_dynamic_mapping)
         self.dynamics_table = jnp.asarray(table, dtype=jnp.float32)
@@ -121,9 +113,7 @@ class SynthesisTrainer:
         self._has_bn = "batch_stats" in variables
         self.opt_state = self.optimizer.init(self.params)
         if self.mesh is not None:
-            put = lambda t: jax.tree_util.tree_map(
-                lambda leaf: jax.device_put(leaf, self._replicated), t
-            )
+            put = self._layout.replicate_tree
             self.params = put(self.params)
             self.batch_stats = put(self.batch_stats)
             self.opt_state = put(self.opt_state)
@@ -213,7 +203,7 @@ class SynthesisTrainer:
     # ------------------------------------------------------------------
     def _stack(self, data, batch_size):
         """data: (x_non, x_syll, x_tone, mels) -> padded batch stacks."""
-        batch_size = -(-batch_size // self._dp) * self._dp
+        batch_size = self._layout.round_batch(batch_size)
         x_non, x_syll, x_tone, mels = data
         n = x_non.shape[0]
         _, _, w = _stack_batches(
@@ -233,11 +223,7 @@ class SynthesisTrainer:
             stack(mels.astype(np.float32)),
             w,
         )
-        if self.mesh is not None:
-            batches = tuple(
-                jax.device_put(b, self._batch_sharding(b.ndim)) for b in batches
-            )
-        return batches
+        return self._layout.place_stacks(*batches)
 
     def train(
         self,

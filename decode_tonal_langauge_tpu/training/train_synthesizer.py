@@ -224,8 +224,17 @@ def run(params: argparse.Namespace) -> dict:
     test_ratio = getattr(params, "test_ratio", None)
     if vali_ratio is not None and test_ratio is not None:
         ratios = [params.train_ratio, vali_ratio, test_ratio]
+    elif test_ratio is not None:
+        ratios = [params.train_ratio, test_ratio]
+    elif vali_ratio is not None:
+        ratios = [params.train_ratio, vali_ratio, 1.0 - params.train_ratio - vali_ratio]
     else:
         ratios = [params.train_ratio, 1.0 - params.train_ratio]
+    if abs(sum(ratios) - 1.0) > 1e-6 or any(r <= 0 for r in ratios[:1] + ratios[-1:]):
+        raise ValueError(
+            f"Split ratios {ratios} must be positive and sum to 1 "
+            "(check --train_ratio/--vali_ratio/--test_ratio)."
+        )
 
     mcds = []
     last = None

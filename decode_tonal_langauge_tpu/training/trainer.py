@@ -104,21 +104,11 @@ class ClassifierTrainer:
         self._weight_decay = weight_decay
         self.optimizer = nadam_with_decay_groups(learning_rate, weight_decay)
 
-        self._dp = 1
-        self._batch_sharding = None
-        self._replicated = None
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import DataParallelLayout
 
-            self._dp = int(mesh.shape["data"])
-            # Scanned stacks are (n_batches, B, ...): shard the per-batch
-            # sample axis (axis 1) over `data`.
-            self._batch_sharding = lambda ndim: NamedSharding(
-                mesh, P(None, "data", *([None] * (ndim - 2)))
-            )
-            self._replicated = NamedSharding(mesh, P())
+        self._layout = DataParallelLayout(mesh)
         # Each scanned batch must split evenly over the data axis.
-        self.batch_size = -(-batch_size // self._dp) * self._dp
+        self.batch_size = self._layout.round_batch(batch_size)
 
         self.params = None
         self.batch_stats: Dict[str, Any] = {}
@@ -156,23 +146,13 @@ class ClassifierTrainer:
         self.batch_stats = variables.get("batch_stats", {})
         self._has_bn = "batch_stats" in variables
         self.opt_state = self.optimizer.init(self.params)
-        if self.mesh is not None:
-            put = lambda t: jax.tree_util.tree_map(
-                lambda leaf: jax.device_put(leaf, self._replicated), t
-            )
-            self.params = put(self.params)
-            self.batch_stats = put(self.batch_stats)
-            self.opt_state = put(self.opt_state)
+        self.params = self._layout.replicate_tree(self.params)
+        self.batch_stats = self._layout.replicate_tree(self.batch_stats)
+        self.opt_state = self._layout.replicate_tree(self.opt_state)
 
     def _place_stacks(self, xb, yb, wb):
         """Move batch stacks to device, sharded over `data` if meshed."""
-        if self.mesh is None:
-            return xb, yb, wb
-        return (
-            jax.device_put(xb, self._batch_sharding(xb.ndim)),
-            jax.device_put(yb, self._batch_sharding(yb.ndim)),
-            jax.device_put(wb, self._batch_sharding(wb.ndim)),
-        )
+        return self._layout.place_stacks(xb, yb, wb)
 
     def n_params(self) -> int:
         return int(
@@ -220,11 +200,7 @@ class ClassifierTrainer:
 
     def _constrain_stack(self, arr):
         """Pin the per-batch sample axis of a scanned stack to `data`."""
-        if self._batch_sharding is None:
-            return arr
-        return jax.lax.with_sharding_constraint(
-            arr, self._batch_sharding(arr.ndim)
-        )
+        return self._layout.constrain_stack(arr)
 
     @partial(jax.jit, static_argnums=(0, 1, 2))
     def _fit_scan(
@@ -284,6 +260,8 @@ class ClassifierTrainer:
 
         def epoch_body(carry, epoch):
             state, best_val, best_epoch, bad, stopped = carry
+            executed = ~stopped  # explicit flag: NaN metrics alone are
+            # ambiguous (genuine divergence also produces NaN losses)
             state, metrics = jax.lax.cond(stopped, skip_epoch, do_epoch, state)
             val_loss = metrics[3]
 
@@ -292,7 +270,7 @@ class ClassifierTrainer:
             best_epoch = jnp.where(improved, epoch, best_epoch)
             bad = jnp.where(stopped, bad, jnp.where(improved, 0, bad + 1))
             stopped = jnp.logical_or(stopped, bad > patience)
-            return (state, best_val, best_epoch, bad, stopped), metrics
+            return (state, best_val, best_epoch, bad, stopped), metrics + (executed,)
 
         init = (
             (params, batch_stats, opt_state, rng),
@@ -340,9 +318,9 @@ class ClassifierTrainer:
         x = xb.reshape((-1,) + xb.shape[2:])
         y = yb.reshape(-1)
         w = wb.reshape(-1)
-        if self.mesh is not None:
-            rep = lambda a: jax.device_put(a, self._replicated)
-            x, y, w = rep(x), rep(y), rep(w)
+        x = self._layout.replicate_tree(x)
+        y = self._layout.replicate_tree(y)
+        w = self._layout.replicate_tree(w)
 
         (
             self.params,
@@ -358,12 +336,12 @@ class ClassifierTrainer:
             x, y, w, vxb, vyb, vwb,
         )
 
-        tr_loss, tr_acc, w_norm, val_loss, val_acc = (
+        tr_loss, tr_acc, w_norm, val_loss, val_acc, executed = (
             np.asarray(m) for m in metrics
         )
         history: List[Dict[str, float]] = []
         for epoch in range(self.max_epochs):
-            if not np.isfinite(val_loss[epoch]):
+            if not executed[epoch]:
                 break  # frozen post-stop epochs
             row = {
                 "epoch": epoch,

@@ -193,6 +193,23 @@ class TestExtractSamples:
         out_dir4 = extract_run(config)
         assert out_dir4 != out_dir
 
+        # ... and so must a different annotation source (same dir names)
+        from decode_tonal_langauge_tpu.data.extract_samples import (
+            _generate_output_dir_name,
+        )
+
+        other = {"sample_collection": dict(config["sample_collection"])}
+        other["sample_collection"]["params"] = dict(
+            config["sample_collection"]["params"]
+        )
+        other["sample_collection"]["params"]["io"] = {
+            **config["sample_collection"]["params"]["io"],
+            "textgrid_root": "/elsewhere/annotations",
+        }
+        assert _generate_output_dir_name(
+            "base", other["sample_collection"]
+        ) != _generate_output_dir_name("base", config["sample_collection"])
+
     def test_epoch_alignment_values(self, tmp_path):
         # hand-built recording with a ramp so slicing is verifiable
         rec_dir = str(tmp_path / "rec")
