@@ -13,7 +13,7 @@ them into neighbouring ops. Reference behaviours:
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

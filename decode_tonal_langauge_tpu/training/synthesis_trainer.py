@@ -28,7 +28,6 @@ import numpy as np
 import optax
 
 from ..data.utils import tone_dynamics_table
-from .optim import nadam_with_decay_groups
 from .trainer import _stack_batches
 
 
