@@ -32,6 +32,7 @@ from ..utils.metrics import (
     compute_classification_metrics_joint,
 )
 from ..utils.visualise import plot_confusion_matrix
+from .seed_parallel import SeedFitResult, SeedParallelTrainer
 from .trainer import ClassifierTrainer
 
 
@@ -89,7 +90,7 @@ def _fit_and_eval(
 
 
 def _maybe_save_checkpoint(
-    params: Namespace, trainer: ClassifierTrainer, target_str: str, seed: int
+    params: Namespace, variables: dict, target_str: str, seed: int
 ) -> None:
     if not getattr(params, "save_checkpoints", False):
         return
@@ -101,8 +102,93 @@ def _maybe_save_checkpoint(
         os.path.join(
             model_dir, f"{target_str}_{params.model_name}_seed_{seed}"
         ),
-        {"params": trainer.params, "batch_stats": trainer.batch_stats},
+        variables,
     )
+
+
+def _fit_eval_all_seeds(
+    params: Namespace,
+    features: np.ndarray,
+    labels: np.ndarray,
+    n_classes: int,
+    seeds,
+    log_dir_fn,
+) -> List[SeedFitResult]:
+    """All repeat seeds of one experiment, in seed order.
+
+    With ``seed_parallel`` (default on, like-for-like histories are
+    parity-tested in ``tests/test_seed_parallel.py``) every seed's
+    split/init/fit/test runs inside ONE vmapped jit — the reference's
+    per-seed Python loop (``classifier_pipeline.py:88``) promoted to a
+    first-class batch axis (SURVEY §2.7). Otherwise falls back to the
+    sequential per-seed path.
+    """
+    features = features.astype(np.float32)
+    labels = labels.astype(np.int32)
+    seeds = [int(s) for s in seeds]
+
+    if not (getattr(params, "seed_parallel", True) and len(seeds) > 1):
+        out: List[SeedFitResult] = []
+        for seed in seeds:
+            true, preds, trainer = _fit_and_eval(
+                params, features, labels, n_classes, seed, log_dir_fn(seed)
+            )
+            out.append(
+                SeedFitResult(
+                    seed=seed,
+                    history=[],
+                    best_epoch=-1,
+                    stopped_early=False,
+                    test_true=true,
+                    test_preds=preds,
+                    n_params=trainer.n_params(),
+                    params=trainer.params,
+                    batch_stats=trainer.batch_stats,
+                )
+            )
+        return out
+
+    # --- seed-parallel path: per-seed split gathers stacked on axis 0 ---
+    ratios = [params.train_ratio, params.vali_ratio, params.test_ratio]
+    tr_x, tr_y, va_x, va_y, te_x, te_y = ([] for _ in range(6))
+    for seed in seeds:
+        tr_idx, va_idx, te_idx = split_indices(features.shape[0], ratios, seed=seed)
+        feats = features
+        if getattr(params, "standardize", False):
+            mu = feats[tr_idx].mean(axis=0, keepdims=True)
+            sd = feats[tr_idx].std(axis=0, keepdims=True) + 1e-6
+            feats = (feats - mu) / sd
+        tr_x.append(feats[tr_idx]); tr_y.append(labels[tr_idx])
+        va_x.append(feats[va_idx]); va_y.append(labels[va_idx])
+        te_x.append(feats[te_idx]); te_y.append(labels[te_idx])
+
+    model = get_classifier_by_name(
+        params.model,
+        n_classes=n_classes,
+        n_channels=features.shape[1],
+        seq_length=features.shape[2],
+        classifier_kwargs=getattr(params, "model_kwargs", {}) or {},
+    )
+    spt = SeedParallelTrainer(
+        model,
+        n_classes=n_classes,
+        seeds=seeds,
+        learning_rate=params.lr,
+        weight_decay=float(getattr(params, "weight_decay", 0.0)),
+        batch_size=params.batch_size,
+        max_epochs=params.epochs,
+        patience=params.patience,
+        mesh=getattr(params, "mesh", None),
+        verbose=getattr(params, "verbose", 1) > 1,
+    )
+    results = spt.fit_eval(
+        np.stack(tr_x), np.stack(tr_y),
+        np.stack(va_x), np.stack(va_y),
+        np.stack(te_x), np.stack(te_y),
+    )
+    for res in results:
+        spt.write_logs(res, log_dir_fn(res.seed))
+    return results
 
 
 def train_separate_targets(
@@ -160,30 +246,42 @@ def train_separate_targets(
         else None
     )
 
+    # All seeds of each target fitted up front — one vmapped jit per
+    # target when seed_parallel is on (shapes differ across targets, so
+    # the vmap axis is seeds, not targets).
+    fits: Dict[str, List[SeedFitResult]] = {}
+    for target in params.targets:
+        data = all_data[target]
+        fits[target] = _fit_eval_all_seeds(
+            params,
+            data["features"],
+            data["labels"],
+            n_classes_dict[target],
+            seeds,
+            log_dir_fn=lambda seed, target=target: os.path.join(
+                params.log_dir,
+                f"{target}_csv",
+                f"subject_{params.subject_id}",
+                f"seed_{seed}",
+            ),
+        )
+
     for i, seed in enumerate(seeds):
         all_preds: Dict[str, np.ndarray] = {}
         all_true: Dict[str, np.ndarray] = {}
 
         for target in params.targets:
-            data = all_data[target]
-            log_dir = os.path.join(
-                params.log_dir,
-                f"{target}_csv",
-                f"subject_{params.subject_id}",
-                f"seed_{seed}",
-            )
-            true, preds, trainer = _fit_and_eval(
-                params,
-                data["features"].astype(np.float32),
-                data["labels"].astype(np.int32),
-                n_classes_dict[target],
-                int(seed),
-                log_dir,
-            )
+            res = fits[target][i]
+            true, preds = res.test_true, res.test_preds
             all_true[target] = true
             all_preds[target] = preds
-            model_size += trainer.n_params()
-            _maybe_save_checkpoint(params, trainer, target, int(seed))
+            model_size += res.n_params
+            _maybe_save_checkpoint(
+                params,
+                {"params": res.params, "batch_stats": res.batch_stats},
+                target,
+                int(seed),
+            )
 
             target_metrics = compute_classification_metrics(
                 true, preds, metrics=metrics
@@ -257,18 +355,30 @@ def train_joint_targets(
         "_".join(params.targets) if len(params.targets) > 1 else params.targets[0]
     )
 
-    for seed in seeds:
-        log_dir = os.path.join(
+    joint_fits = _fit_eval_all_seeds(
+        params,
+        features,
+        labels,
+        n_classes,
+        seeds,
+        log_dir_fn=lambda seed: os.path.join(
             params.log_dir,
             f"{target_name}_csv",
             f"subject_{params.subject_id}",
             f"seed_{seed}",
+        ),
+    )
+
+    for i, seed in enumerate(seeds):
+        res = joint_fits[i]
+        true, preds = res.test_true, res.test_preds
+        model_size = res.n_params
+        _maybe_save_checkpoint(
+            params,
+            {"params": res.params, "batch_stats": res.batch_stats},
+            target_name,
+            int(seed),
         )
-        true, preds, trainer = _fit_and_eval(
-            params, features, labels, n_classes, int(seed), log_dir
-        )
-        model_size = trainer.n_params()
-        _maybe_save_checkpoint(params, trainer, target_name, int(seed))
 
         joint_metrics = compute_classification_metrics(
             true, preds, metrics=metrics, verbose=verbose > 1
