@@ -43,6 +43,54 @@ def make_mesh(
     return Mesh(mesh_devices, axis_names)
 
 
+def mesh_from_config(parallel_cfg) -> Optional[Mesh]:
+    """Build a mesh from a config ``parallel:`` section (or return None).
+
+    Supersedes the reference's single-device knob
+    (``/root/reference/CONFIG.md:88``, ``device: cpu/cuda:0``) with a
+    declarative mesh spec::
+
+        parallel:
+          data: 8        # devices on the data axis; 'auto' = all / model
+          model: 1       # optional model axis (sharded dense heads)
+
+    ``parallel: auto`` (the bare string) is shorthand for
+    ``{data: auto}``. Returns ``None`` (single-device layout) when the
+    section is absent/empty or resolves to one device. Multi-process
+    runtimes get a mesh over every process's devices (the data axis
+    spans hosts)."""
+    if not parallel_cfg:
+        return None
+    if parallel_cfg == "auto" or parallel_cfg is True:
+        parallel_cfg = {"data": "auto"}
+    if not isinstance(parallel_cfg, dict):
+        raise ValueError(
+            f"parallel: section must be a mapping or 'auto', got {parallel_cfg!r}"
+        )
+    model = int(parallel_cfg.get("model", 1))
+    data = parallel_cfg.get("data", "auto")
+    n_avail = len(jax.devices())
+    if data in ("auto", None):
+        data = max(1, n_avail // model)
+    data = int(data)
+    if data * model > n_avail:
+        raise ValueError(
+            f"parallel: requested {data}x{model} devices but only "
+            f"{n_avail} are visible"
+        )
+    if data * model == 1:
+        return None
+    if jax.process_count() > 1:
+        from .distributed import global_mesh
+
+        if model == 1:
+            return global_mesh(("data",), (data,))
+        return global_mesh(("data", "model"), (data, model))
+    if model == 1:
+        return make_mesh(data, axis_names=("data",))
+    return make_mesh(data * model, axis_names=("data", "model"), shape=(data, model))
+
+
 def shard_batch(mesh: Mesh, arr, axis: str = "data"):
     """Place ``arr`` with its leading dim sharded over ``axis``."""
     spec = P(axis, *([None] * (np.ndim(arr) - 1)))

@@ -46,6 +46,15 @@ def run(config: dict) -> str:
         combined_cfg, exclude_keys=["class_labels", "model_kwargs"]
     )
 
+    # Device parallelism from the top-level `parallel:` section (kept out
+    # of combined_cfg: the mesh layout never changes results, so it must
+    # not change the experiment hash).
+    from ..parallel.mesh import mesh_from_config
+
+    params.mesh = mesh_from_config(config.get("parallel"))
+    if params.mesh is not None:
+        print(f"training on mesh {dict(params.mesh.shape)}")
+
     sample_dir = getattr(params, "sample_dir", "data/samples")
     if not os.path.exists(sample_dir):
         raise FileNotFoundError(

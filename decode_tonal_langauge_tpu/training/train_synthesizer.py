@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--test_ratio", type=float, default=None)
     parser.add_argument("--device", type=str, default="tpu")
+    parser.add_argument(
+        "--parallel_data", type=str, default=None,
+        help="Data-parallel mesh width: an integer device count or "
+        "'auto' for all visible devices (supersedes the reference's "
+        "--device knob for multi-chip training).",
+    )
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--epochs", type=int, default=100)
     parser.add_argument("--lr", type=float, default=0.0005)
@@ -236,6 +242,16 @@ def run(params: argparse.Namespace) -> dict:
             "(check --train_ratio/--vali_ratio/--test_ratio)."
         )
 
+    from ..parallel.mesh import mesh_from_config
+
+    mesh = mesh_from_config(
+        {"data": getattr(params, "parallel_data", None)}
+        if getattr(params, "parallel_data", None)
+        else None
+    )
+    if mesh is not None:
+        print(f"synthesis training on mesh {dict(mesh.shape)}")
+
     mcds = []
     last = None
     for seed in seeds:
@@ -258,6 +274,7 @@ def run(params: argparse.Namespace) -> dict:
             epsilon=getattr(params, "epsilon", 1e-8),
             schedule_decay=getattr(params, "schedule_decay", 0.004),
             seed=int(seed),
+            mesh=mesh,
             verbose=params.verbose > 0,
         )
 

@@ -261,10 +261,19 @@ def plot_metric(
     model_size, model_name.
     """
     fig, ax = plt.subplots(figsize=(10, 6))
-    model_names = sorted({str(r.get("model_name", "model")) for r in results})
+    # Series are (model, target) pairs: separate-model runs append joint
+    # AND per-target rows with different chance levels, which must not
+    # collapse into one scatter.
+    def series_key(r):
+        key = str(r.get("model_name", "model"))
+        if r.get("target"):
+            key += f" [{r['target']}]"
+        return key
+
+    series = sorted({series_key(r) for r in results})
     cmap = plt.get_cmap("tab10")
-    for mi, model in enumerate(model_names):
-        rows = [r for r in results if str(r.get("model_name", "model")) == model]
+    for mi, name in enumerate(series):
+        rows = [r for r in results if series_key(r) == name]
         xs = [r["subject"] for r in rows]
         ys = [r[f"{metric}_mean"] for r in rows]
         errs = [r.get(f"{metric}_std", 0.0) or 0.0 for r in rows]
@@ -272,8 +281,17 @@ def plot_metric(
         ax.errorbar(
             xs, ys, yerr=errs, fmt="none", ecolor=cmap(mi), alpha=0.5, capsize=3
         )
-        ax.scatter(xs, ys, s=sizes, color=cmap(mi), label=model, alpha=0.8)
-    if chance_level is not None:
+        ax.scatter(xs, ys, s=sizes, color=cmap(mi), label=name, alpha=0.8)
+    if isinstance(chance_level, dict):
+        # Per-target chance levels ({target_label: level}) — one dashed
+        # line each (a single line is wrong when joint + per-target rows
+        # share the figure: chance is 1/prod vs 1/n_classes).
+        for ci, (target, level) in enumerate(sorted(chance_level.items())):
+            ax.axhline(
+                float(level), color=cmap(ci), linestyle="--", alpha=0.6,
+                label=f"chance ({target})",
+            )
+    elif chance_level is not None:
         ax.axhline(chance_level, color="grey", linestyle="--", label="chance")
     ax.set_xlabel("Subject")
     ax.set_ylabel(metric)

@@ -71,6 +71,11 @@ def run(config: dict) -> Optional[str]:
         "venn_sets",
         ["active_channels", "tone_discriminative", "syllable_discriminative"],
     )
+    if selection_dir and os.path.isdir(selection_dir) and len(venn_sets) != 3:
+        print(
+            f"Venn diagrams need exactly 3 channel sets, got {len(venn_sets)} "
+            f"({venn_sets}); skipping venn figures."
+        )
     if selection_dir and os.path.isdir(selection_dir) and len(venn_sets) == 3:
         for fname in sorted(os.listdir(selection_dir)):
             if not (fname.startswith("subject_") and fname.endswith(".json")):

@@ -262,3 +262,107 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestMeshFromConfig:
+    """The YAML `parallel:` section -> mesh (VERDICT r2 item #2)."""
+
+    def test_absent_or_single_is_none(self):
+        from decode_tonal_langauge_tpu.parallel.mesh import mesh_from_config
+
+        assert mesh_from_config(None) is None
+        assert mesh_from_config({}) is None
+        assert mesh_from_config({"data": 1}) is None
+
+    def test_auto_spans_all_devices(self, devices_8):
+        from decode_tonal_langauge_tpu.parallel.mesh import mesh_from_config
+
+        mesh = mesh_from_config("auto")
+        assert dict(mesh.shape) == {"data": len(jax.devices())}
+        mesh2 = mesh_from_config({"data": "auto", "model": 2})
+        assert dict(mesh2.shape) == {"data": len(jax.devices()) // 2, "model": 2}
+
+    def test_explicit_counts(self, devices_8):
+        from decode_tonal_langauge_tpu.parallel.mesh import mesh_from_config
+
+        mesh = mesh_from_config({"data": 4})
+        assert dict(mesh.shape) == {"data": 4}
+
+    def test_oversubscription_raises(self, devices_8):
+        from decode_tonal_langauge_tpu.parallel.mesh import mesh_from_config
+
+        with pytest.raises(ValueError):
+            mesh_from_config({"data": 1024})
+        with pytest.raises(ValueError):
+            mesh_from_config("not-a-mapping")
+
+
+class TestTrainingStageWithMesh:
+    """train_classifier.run with a config-declared mesh must reproduce the
+    single-device results (DP + seed-parallel are layout decisions)."""
+
+    def _config(self, tmp_path, sub, parallel):
+        rng = np.random.default_rng(7)
+        n = 64
+        x = rng.standard_normal((n, 6, 10)).astype(np.float32)
+        syll = np.tile([0, 1], n // 2)
+        tone = np.tile([0, 1, 2, 3], n // 4)
+        x[syll == 1] += 4.0
+        sample_dir = tmp_path / sub / "samples"
+        sample_dir.mkdir(parents=True)
+        np.savez(
+            sample_dir / "subject_1.npz",
+            ecog=x, ecog_sf=100.0, syllable=syll, tone=tone,
+        )
+        return {
+            "parallel": parallel,
+            "model": {
+                "model": "models.simple_classifiers.LogisticRegressionClassifier",
+                "model_name": "logistic",
+                "model_kwargs": {},
+            },
+            "training": {
+                "module": "train_classifier",
+                "params": {
+                    "io": {
+                        "log_dir": str(tmp_path / sub / "logs"),
+                        "sample_dir": str(sample_dir),
+                    },
+                    "experiment": {
+                        "targets": ["syllable"],
+                        "features": "ecog",
+                        "separate_models": False,
+                        "seed": 42,
+                        "repeat": 2,
+                        "verbose": 0,
+                    },
+                    "training": {
+                        "train_ratio": 0.6,
+                        "vali_ratio": 0.2,
+                        "test_ratio": 0.2,
+                        "batch_size": 8,
+                        "epochs": 30,
+                        "lr": 0.01,
+                        "standardize": True,
+                        "patience": 30,
+                    },
+                },
+            },
+            "evaluation": {"metrics": ["accuracy"]},
+        }
+
+    def test_meshed_stage_matches_single(self, devices_8, tmp_path):
+        import pandas as pd
+
+        from decode_tonal_langauge_tpu.training import train_classifier
+
+        out_single = train_classifier.run(self._config(tmp_path, "single", None))
+        out_meshed = train_classifier.run(
+            self._config(tmp_path, "meshed", {"data": 8})
+        )
+        r_single = pd.read_csv(f"{out_single}/results.csv")
+        r_meshed = pd.read_csv(f"{out_meshed}/results.csv")
+        assert r_meshed["accuracy_mean"].iloc[0] == pytest.approx(
+            r_single["accuracy_mean"].iloc[0], abs=0.05
+        )
+        assert r_meshed["accuracy_mean"].iloc[0] > 0.8
