@@ -49,10 +49,19 @@ def run(config: dict) -> str:
         new_module_cfg=ch_cfg,
     )
 
-    for file_name in sorted(os.listdir(params.sample_dir)):
-        if not file_name.endswith(".npz") or not file_name.startswith("subject_"):
-            continue
+    # Multi-host: each process selects channels for its share of subjects
+    # (identity single-process); outputs are per-subject JSONs, no
+    # cross-process write contention.
+    from ..parallel.distributed import host_shard
 
+    subject_files = host_shard(
+        [
+            f
+            for f in sorted(os.listdir(params.sample_dir))
+            if f.endswith(".npz") and f.startswith("subject_")
+        ]
+    )
+    for file_name in subject_files:
         subject_id = file_name.split("_")[1].split(".")[0]
         data = np.load(os.path.join(params.sample_dir, file_name))
 

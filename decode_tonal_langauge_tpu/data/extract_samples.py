@@ -50,7 +50,15 @@ def run(config: dict) -> str:
         new_module_cfg=collection_cfg,
     )
 
-    for subject_id, subject_params in (params_config.get("subjects", {}) or {}).items():
+    # Multi-host: each process extracts its round-robin share of subjects
+    # (identity under a single process). Outputs are per-subject files in
+    # a shared dir, so there is no write contention across processes.
+    from ..parallel.distributed import host_shard
+
+    subject_items = host_shard(
+        list((params_config.get("subjects", {}) or {}).items())
+    )
+    for subject_id, subject_params in subject_items:
         subject_path = os.path.join(params.recording_dir, f"subject_{subject_id}")
         if not os.path.exists(subject_path):
             print(f"No recording directory at {subject_path}; subject skipped.")

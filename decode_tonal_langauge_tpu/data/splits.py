@@ -17,6 +17,14 @@ def split_indices(
     n_samples: int, ratios: List[float], seed: int = 42
 ) -> List[np.ndarray]:
     """Seeded random partition of ``range(n_samples)`` by ratio list."""
+    if sum(ratios) > 1.0 + 1e-9:
+        # Without this gate, ratios summing past 1 silently make the last
+        # split negative-sized -> an empty test set (a reference bug,
+        # ``dataloaders.py:39-43``, not replicated).
+        raise ValueError(
+            f"Split ratios {list(ratios)} sum to {sum(ratios):.4f} > 1; "
+            "they must sum to at most 1."
+        )
     sizes = []
     for i, ratio in enumerate(ratios):
         if ratio <= 0 or ratio >= 1:

@@ -55,8 +55,29 @@ def handle_textgrids(
 
         tg = TextGrid.from_file(os.path.join(data_dir, file))
         intervals[block_number] = read_textgrid(tg, start_offset, end_offset, tier_list)
+        print(
+            f"Maximum time for block {block_number}:",
+            get_textgrid_time(tg, tier_list),
+            " s",
+        )
 
     return intervals
+
+
+def get_textgrid_time(tg: TextGrid, tier_list: Optional[List[str]] = None) -> float:
+    """Maximum interval end time over the selected tiers (block duration
+    report, ``/root/reference/data_loading/text_align.py:155-186``)."""
+    if tier_list is None:
+        tier_list = [tier.name.lower() for tier in tg.tiers]
+    return max(
+        (
+            interval.maxTime
+            for tier in tg.tiers
+            if tier.name.lower() in tier_list
+            for interval in tier.intervals
+        ),
+        default=0.0,
+    )
 
 
 def read_textgrid(

@@ -275,6 +275,22 @@ def lfilter(
         for section in sos_np:
             y = lfilter_blocked(section[:3], section[3:], y)
         return jnp.moveaxis(y, -1, axis)
+    if x_moved.shape[-1] > IIR_SCAN_LIMIT:
+        # order > 2 with zi: a tf-form initial state has no per-biquad
+        # decomposition, so the blocked cascade cannot honor it — this
+        # falls to the exact timestep scan (~2 us/step on-chip). Loud, so
+        # callers can restructure (filter sections with per-section zi).
+        import warnings
+
+        warnings.warn(
+            f"lfilter: order-{order} filter with zi on a "
+            f"{x_moved.shape[-1]}-sample signal runs the sequential "
+            "timestep scan (no blocked path exists for tf-form initial "
+            "state above biquad order); expect ~2 us/sample on TPU. "
+            "Split the filter into SOS sections with per-section zi, or "
+            "pass zi=None to use the blocked biquad cascade.",
+            stacklevel=2,
+        )
 
     b = jnp.asarray(b, dtype=jnp.result_type(jnp.asarray(b).dtype, x.dtype))
     a = jnp.asarray(a, dtype=b.dtype)
@@ -369,7 +385,20 @@ def sos_filtfilt_fft(sos_np: np.ndarray, x: jax.Array) -> jax.Array:
     ext = jnp.concatenate([left, x, right], axis=-1)
 
     t_ext = ext.shape[-1]
-    nfft = _next_pow2(t_ext + max(t_ext // 4, 4096))
+    # The zero padding must outlast the impulse-response tail or the
+    # circular convolution wraps it into the output. A fixed floor is
+    # wrong for signals just above IIR_SCAN_LIMIT with near-DC bands
+    # (pole radius 1-1e-4 decays over ~10^5 samples): scale the floor to
+    # the dominant pole's 60 dB decay length, capped to keep the FFT
+    # allocatable for pathological pole radii.
+    _, poles, _ = sps.sos2zpk(sos_np)
+    r_max = float(np.max(np.abs(poles))) if len(poles) else 0.0
+    if 0.0 < r_max < 1.0:
+        n_decay = int(np.log(1e-3) / np.log(r_max)) + 1
+    else:
+        n_decay = 4096
+    n_decay = min(n_decay, 1 << 22)
+    nfft = _next_pow2(t_ext + max(t_ext // 4, n_decay, 4096))
 
     w = 2.0 * np.pi * np.fft.rfftfreq(nfft)  # rad/sample
     _, h = sps.sosfreqz(sos_np, worN=w)

@@ -257,10 +257,15 @@ def resample_to_rate(
 
     frac = Fraction(target_sr) / Fraction(orig_sr)
     frac = frac.limit_denominator(10_000)
-    y = polyphase_resample(x, frac.numerator, frac.denominator)
-    # Reconcile ceil-based polyphase length with the reference's int() rule.
-    if y.shape[-1] > num:
-        y = y[..., :num]
-    elif y.shape[-1] < num:
-        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, num - y.shape[-1])])
-    return y
+    up, down = frac.numerator, frac.denominator
+    # Reconcile the ceil-based polyphase length with the reference's
+    # int() rule by padding the INPUT (edge mode) until the polyphase
+    # yields >= num samples — the tail is then computed from real signal
+    # instead of appended as literal zeros.
+    t_need = -(-num * down // up)
+    if t_need > t_in:
+        x = jnp.pad(
+            x, [(0, 0)] * (x.ndim - 1) + [(0, t_need - t_in)], mode="edge"
+        )
+    y = polyphase_resample(x, up, down)
+    return y[..., :num]

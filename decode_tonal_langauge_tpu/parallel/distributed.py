@@ -40,9 +40,11 @@ def initialize(
     the pipeline runner at startup, so multi-host launches only need the
     env var set on each host.)
     """
-    already_multi = jax.process_count() > 1
-    if already_multi:
-        return True
+    # Probe WITHOUT touching the backend: jax.process_count() would
+    # initialise XLA, after which jax.distributed.initialize refuses to
+    # run (caught by tests/test_distributed_multiprocess.py).
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
 
     explicit = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not explicit:

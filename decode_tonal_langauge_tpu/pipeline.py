@@ -85,6 +85,14 @@ def run_pipeline(config_path_or_dict) -> Dict[str, str]:
         if isinstance(result, str):
             stage_outputs[stage] = result
 
+        # Multi-host: stages shard work across processes (blocks,
+        # subjects); downstream stages read the PREVIOUS stage's files,
+        # so every process must have finished writing before any process
+        # proceeds. No-op single-process.
+        from .parallel.distributed import barrier
+
+        barrier(f"stage:{stage}")
+
     if timer.spans and profiling_cfg.get("timing", True):
         print("----------- Stage timing -----------")
         print(timer.summary())

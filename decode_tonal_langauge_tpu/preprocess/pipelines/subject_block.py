@@ -95,34 +95,52 @@ def run(pipeline_params, io_params, io_module, preprocessor_module, modalities_c
         )
     )
 
-    for subject_id, block_id, block_path in blocks:
-        print(f"Processing block {block_id} of subject {subject_id}...")
+    # Block saves run on a writer thread: save_block materializes the
+    # device arrays (D2H) and writes npz — both overlap the NEXT block's
+    # upload + compute (JAX dispatch is async; transfers are
+    # thread-safe). One worker keeps write order; the 2-deep in-flight
+    # bound caps device memory held by pending saves.
+    from concurrent.futures import ThreadPoolExecutor
 
-        data_dict = io_module.load_block(block_path)
+    pending = []
+    with ThreadPoolExecutor(max_workers=1) as writer:
+        for subject_id, block_id, block_path in blocks:
+            print(f"Processing block {block_id} of subject {subject_id}...")
 
-        block_params = dict_to_namespace(
-            {
-                **{
-                    k: v
-                    for k, v in vars(io_params).items()
-                    if k not in ("root_dir", "output_dir")
-                },
-                "block_id": block_id,
-                "subject_id": subject_id,
-            }
-        )
+            data_dict = io_module.load_block(block_path)
 
-        block_figure_dir = None
-        if figures:
-            block_figure_dir = os.path.join(
-                figure_root, f"subject_{subject_id}", f"block_{block_id}"
+            block_params = dict_to_namespace(
+                {
+                    **{
+                        k: v
+                        for k, v in vars(io_params).items()
+                        if k not in ("root_dir", "output_dir")
+                    },
+                    "block_id": block_id,
+                    "subject_id": subject_id,
+                }
             )
-            os.makedirs(block_figure_dir, exist_ok=True)
 
-        preprocessor_module.preprocess_modalities(
-            data_dict, modalities_cfg, block_params, figure_dir=block_figure_dir
-        )
+            block_figure_dir = None
+            if figures:
+                block_figure_dir = os.path.join(
+                    figure_root, f"subject_{subject_id}", f"block_{block_id}"
+                )
+                os.makedirs(block_figure_dir, exist_ok=True)
 
-        io_module.save_block(setup_dir, subject_id, block_id, data_dict)
+            preprocessor_module.preprocess_modalities(
+                data_dict, modalities_cfg, block_params, figure_dir=block_figure_dir
+            )
+
+            pending.append(
+                writer.submit(
+                    io_module.save_block, setup_dir, subject_id, block_id, data_dict
+                )
+            )
+            while len(pending) > 2:
+                pending.pop(0).result()  # propagate writer errors early
+
+        for future in pending:
+            future.result()
 
     return setup_dir

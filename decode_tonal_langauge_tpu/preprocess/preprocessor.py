@@ -80,7 +80,9 @@ def preprocess_signal(
                 )
             setattr(block_params, key, value)
 
-        before_data = np.asarray(data)
+        # Materializing the pre-step signal costs a device->host readback
+        # per step — only pay it when figures are actually requested.
+        before_data = np.asarray(data) if figure_dir else None
         before_freq = block_params.signal_freq
 
         module = registry.resolve(module_name)

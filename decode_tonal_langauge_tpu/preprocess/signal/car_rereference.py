@@ -16,4 +16,5 @@ def run(data: np.ndarray, params: Namespace) -> np.ndarray:
     exclude = getattr(params, "exclude_channels", []) or []
     if not isinstance(exclude, list):
         raise ValueError("exclude_channels must be a list of integers.")
-    return np.asarray(car_rereference(data, exclude_channels=exclude))
+    # Device array out: host materialization happens once, at block save.
+    return car_rereference(data, exclude_channels=exclude)

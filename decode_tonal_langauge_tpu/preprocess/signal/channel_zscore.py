@@ -14,4 +14,5 @@ from ...ops.rereference import channel_zscore
 
 def run(data: np.ndarray, params: Namespace) -> np.ndarray:
     preserve_nans = getattr(params, "preserve_nans", True)
-    return np.asarray(channel_zscore(data, fill_nans=not preserve_nans))
+    # Device array out: host materialization happens once, at block save.
+    return channel_zscore(data, fill_nans=not preserve_nans)

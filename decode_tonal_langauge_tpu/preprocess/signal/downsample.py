@@ -22,4 +22,6 @@ def run(data: np.ndarray, params: Namespace) -> np.ndarray:
     method = getattr(params, "resample_method", "auto")
     out = resample_to_rate(data, params.signal_freq, target_freq, method=method)
     params.signal_freq = target_freq
-    return np.asarray(out)
+    # Returned as a device array: the step chain stays on-chip; the block
+    # writer (io.*.save_block) materializes to host exactly once.
+    return out

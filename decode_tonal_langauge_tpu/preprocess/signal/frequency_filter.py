@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from argparse import Namespace
 
-import numpy as np
+import jax.numpy as jnp
 
 from ...ops.fir import fir_bandpass_filter
 from ...ops.hilbert import hilbert_filter, hilbert_filter_blocked
@@ -75,6 +75,10 @@ def run(data: np.ndarray, params: Namespace) -> np.ndarray:
             raise ValueError(
                 f"Unknown filter method '{method}'; expected hilbert/butter/fir."
             )
-        all_channels.append(np.asarray(signals))
+        all_channels.append(signals)
 
-    return np.concatenate(all_channels, axis=0)
+    # On-device concat: keeps the step chain on-chip (host materialization
+    # happens once, in the block writer).
+    if len(all_channels) == 1:
+        return all_channels[0]
+    return jnp.concatenate([jnp.asarray(s) for s in all_channels], axis=0)

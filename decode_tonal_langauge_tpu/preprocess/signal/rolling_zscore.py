@@ -20,6 +20,5 @@ def run(data: np.ndarray, params: Namespace) -> np.ndarray:
     if window_size <= 1:
         raise ValueError("window_size must be greater than 1.")
 
-    return np.asarray(
-        rolling_zscore(data, window_size, fill_nans=not preserve_nans)
-    )
+    # Device array out: host materialization happens once, at block save.
+    return rolling_zscore(data, window_size, fill_nans=not preserve_nans)

@@ -31,4 +31,5 @@ def run(data: np.ndarray, params: Namespace) -> np.ndarray:
     if start >= end:
         raise ValueError("Start time must be less than end time.")
 
-    return np.asarray(interval_zscore(data, start, end))
+    # Device array out: host materialization happens once, at block save.
+    return interval_zscore(data, start, end)

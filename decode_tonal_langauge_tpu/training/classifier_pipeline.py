@@ -465,7 +465,17 @@ def save_and_plot_results(
         rows.append(_build_row(metrics_dict, str(target)))
 
     df = pd.DataFrame(rows)
-    result_path = os.path.join(params.log_dir, "results.csv")
+    import jax
+
+    if jax.process_count() > 1:
+        # Concurrent appends from several hosts can interleave mid-row;
+        # each process writes its own shard, merged into results.csv by
+        # rank 0 at the end of the stage (train_classifier.run).
+        result_path = os.path.join(
+            params.log_dir, f"results.process{jax.process_index()}.csv"
+        )
+    else:
+        result_path = os.path.join(params.log_dir, "results.csv")
     if os.path.exists(result_path):
         df.to_csv(result_path, mode="a", header=False, index=False)
     else:

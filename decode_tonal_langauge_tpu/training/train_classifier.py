@@ -130,7 +130,42 @@ def run(config: dict) -> str:
 
         save_and_plot_results(subject_params, results, conf_mat, labels)
 
+    _merge_process_results(params.log_dir)
     return params.log_dir
+
+
+def _merge_process_results(log_dir: str) -> None:
+    """Multi-host: fold per-process results shards into results.csv.
+
+    Every process writes ``results.process<id>.csv`` during the subject
+    loop (concurrent appends to one file can interleave mid-row); after a
+    barrier, rank 0 appends all shards to the canonical ``results.csv``
+    and removes them. No-op single-process."""
+    import glob
+
+    import jax
+
+    from ..parallel.distributed import barrier
+
+    if jax.process_count() <= 1:
+        return
+    barrier("train_classifier:results")
+    if jax.process_index() != 0:
+        return
+    import pandas as pd
+
+    shards = sorted(glob.glob(os.path.join(log_dir, "results.process*.csv")))
+    if not shards:
+        return
+    merged = pd.concat([pd.read_csv(p) for p in shards], ignore_index=True)
+    result_path = os.path.join(log_dir, "results.csv")
+    if os.path.exists(result_path):
+        merged.to_csv(result_path, mode="a", header=False, index=False)
+    else:
+        merged.to_csv(result_path, index=False)
+    for p in shards:
+        os.remove(p)
+    print(f"Merged {len(shards)} process result shards into {result_path}")
 
 
 def _prepare_subject_params(base_params: Namespace, subject_id: str) -> Namespace:

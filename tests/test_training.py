@@ -40,6 +40,12 @@ class TestSplits:
         with pytest.raises(ValueError):
             split_indices(10, [0.0, 1.0], seed=0)
 
+    def test_ratio_sum_over_one(self):
+        # ratios summing past 1 used to silently produce a negative-sized
+        # (empty) last split — the reference's dataloaders.py:39-43 bug.
+        with pytest.raises(ValueError, match="sum"):
+            split_indices(100, [0.7, 0.2, 0.2], seed=0)
+
 
 class TestMetrics:
     def test_named_metrics(self):
