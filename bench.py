@@ -113,10 +113,11 @@ def _step_flops(step_fn, args) -> float:
     """FLOPs of ONE train step from the compiled executable's own cost
     model (what XLA actually runs after fusion, not a hand estimate).
 
-    Must be a single-step jit: cost_analysis counts a scanned loop body
-    once regardless of trip count, so analysing the N-step scan would
-    understate flops by N (caught in round 3: cnn_mfu read 0.95% until
-    multiplied back to ~28%)."""
+    Must be a single-step jit that RETURNS THE UPDATED STATE: returning
+    only the loss lets XLA dead-code-eliminate the backward pass and
+    optimizer (measured: exactly 1/3 of the true step flops remains),
+    and cost_analysis counts a scanned loop body once regardless of trip
+    count, so analysing the N-step scan understates by N."""
     import jax
 
     compiled = jax.jit(step_fn).lower(*args).compile()
@@ -246,7 +247,7 @@ def _scanned_train_step_time(model, x, y, n_runs=30, apply_kwargs=None):
 
     args = (params, opt_state, jax.random.key(1))
     per_step = _time_scanned_steps(run_n, args, n_runs)
-    flops = _step_flops(lambda p, o, k: step((p, o, k), None)[1], args)
+    flops = _step_flops(lambda p, o, k: step((p, o, k), None)[0], args)
     return per_step, flops
 
 
@@ -409,7 +410,7 @@ def bench_training_synthesis(batch: int = 32, channels: int = 40,
 
     args = (params, opt_state, jax.random.key(1))
     per_step = _time_scanned_steps(run_n, args, n_runs)
-    flops = _step_flops(lambda p, o, k: step((p, o, k), None)[1], args)
+    flops = _step_flops(lambda p, o, k: step((p, o, k), None)[0], args)
     return {
         "synthcnn_steps_per_s": 1.0 / per_step,
         "synthcnn_mfu": _mfu(flops, per_step),

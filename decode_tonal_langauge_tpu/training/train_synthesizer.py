@@ -253,6 +253,7 @@ def run(params: argparse.Namespace) -> dict:
         print(f"synthesis training on mesh {dict(mesh.shape)}")
 
     mcds = []
+    pearson_rs = []
     last = None
     for seed in seeds:
         idx_splits = split_indices(ecog_non.shape[0], ratios, seed=int(seed))
@@ -295,9 +296,22 @@ def run(params: argparse.Namespace) -> dict:
             test_data, batch_size=params.batch_size
         )
         mcds.append(mcd)
+        # Spectrogram fidelity: Pearson r between reconstructed and
+        # origin test mels (the BASELINE target metric alongside MCD).
+        pearson_rs.append(
+            float(
+                np.corrcoef(
+                    np.asarray(recon_mels).ravel(),
+                    np.asarray(origin_mels).ravel(),
+                )[0, 1]
+            )
+        )
         last = (history, recon_mels, origin_mels)
         if params.verbose > 0:
-            print(f"Seed {seed}: test MCD = {mcd:.4f}")
+            print(
+                f"Seed {seed}: test MCD = {mcd:.4f}, "
+                f"mel Pearson r = {pearson_rs[-1]:.4f}"
+            )
 
     summary = {
         "model_name": params.model_name,
@@ -308,6 +322,8 @@ def run(params: argparse.Namespace) -> dict:
         "mcd_mean": float(np.mean(mcds)),
         "mcd_std": float(np.std(mcds)),
         "mcd_all": str([float(m) for m in mcds]),
+        "mel_pearson_r_mean": float(np.mean(pearson_rs)),
+        "mel_pearson_r_std": float(np.std(pearson_rs)),
     }
 
     import pandas as pd

@@ -1,0 +1,451 @@
+#!/usr/bin/env python
+"""North-star quality parity: decode accuracy + mel fidelity, this
+framework (attached TPU) vs faithful torch-CPU equivalents at matched
+data, splits, epochs, and topology (PARITY.md source; BASELINE.json's
+quality targets).
+
+Flow: plant a synthetic subject (known discriminative channels), run the
+production pipeline (preprocess -> samples -> channel selection), then:
+
+- syllable: paper CNN, ours (chip) and torch (same topology, same split
+  seeds, same epochs);
+- tone: paper CNN-RNN, ours on chip (the torch CNN-RNN needs ~2 h CPU
+  for a matched run; enable with --torch-cnnrnn);
+- synthesis: SynthesisLite + SynthesisModelCNN through the production
+  CLI (MCD + mel Pearson r), plus a torch SynthesisLite trained on the
+  SAME mels/dynamics/split.
+
+Emits PARITY.json next to the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+SEEDS = [3, 17, 42]
+EPOCHS = 30
+
+
+# ---------------------------------------------------------------------------
+def build_subject(workdir: str):
+    from decode_tonal_langauge_tpu.data.synthetic import (
+        SyntheticSpec,
+        write_subject,
+    )
+
+    spec = SyntheticSpec(
+        n_channels=32,
+        n_blocks=4,
+        trials_per_block=40,
+        ecog_sf=1000.0,
+        audio_sf=8000.0,
+        active_channels=tuple(range(16)),
+        tone_channels=(0, 1, 2, 3, 4, 5),
+        syllable_channels=(6, 7, 8, 9, 10, 11),
+    )
+    write_subject(os.path.join(workdir, "raw"), 1, spec)
+    return spec
+
+
+def run_pipeline_stages(workdir: str):
+    """Preprocess -> samples -> channel selection (production path)."""
+    from decode_tonal_langauge_tpu.pipeline import run_pipeline
+
+    config = {
+        "preprocess": {
+            "module": "preprocess_main",
+            "params": {
+                "pipeline": {
+                    "module": "preprocess.pipelines.subject_block",
+                    "params": {
+                        "subject_dirs": ["Sub1"],
+                        "subject_ids": [1],
+                        "figures": False,
+                    },
+                },
+                "io": {
+                    "module": "preprocess.io.npz_blocks",
+                    "params": {
+                        "root_dir": os.path.join(workdir, "raw"),
+                        "output_dir": os.path.join(workdir, "processed"),
+                    },
+                },
+                "preprocessor": {"module": "preprocess.preprocessor"},
+                "modalities": {
+                    "ecog": {
+                        "type": "signal",
+                        "preprocessing": {
+                            "steps": [
+                                {
+                                    "module": "preprocess.downsample",
+                                    "params": {"downsample_freq": 400},
+                                },
+                                {
+                                    "module": "preprocess.frequency_filter",
+                                    "params": {
+                                        "bands": [
+                                            {
+                                                "method": "hilbert",
+                                                "params": {
+                                                    "freq_ranges": [70, 150],
+                                                    "envelope": True,
+                                                },
+                                            }
+                                        ]
+                                    },
+                                },
+                                {
+                                    "module": "preprocess.zscore_rereference",
+                                    "params": {"rereference_interval": [0.0, 5.0]},
+                                },
+                            ]
+                        },
+                    },
+                    "audio": {"type": "signal"},
+                },
+            },
+        },
+        "sample_collection": {
+            "module": "extract_samples",
+            "params": {
+                "io": {
+                    "output_dir": os.path.join(workdir, "samples"),
+                    "textgrid_root": os.path.join(workdir, "raw"),
+                    "figures": False,
+                },
+                "subjects": {
+                    1: {
+                        "start_offset": 0.1,
+                        "sample_length": 0.4,
+                        "rest_period": [0.0, 5.0],
+                        "textgrid_dir": "annotations/subject_1",
+                        "tier_list": ["success"],
+                    }
+                },
+                "settings": {"syllable_identifiers": ["i", "a"]},
+            },
+        },
+        "channel_selection": {
+            "module": "channel_selection_main",
+            "params": {
+                "io": {
+                    "output_dir": os.path.join(workdir, "selection"),
+                    "figures": False,
+                },
+                "selections": [
+                    {
+                        "module": "channel_selection.active",
+                        "selection_name": "active_channels",
+                        "params": {
+                            "p_threshold": 0.05,
+                            "active_time_threshold": 0.05,
+                            "rest_name": "ecog_rest",
+                            "erp_name": "ecog",
+                        },
+                    },
+                    {
+                        "module": "channel_selection.discriminative",
+                        "selection_name": "tone_discriminative",
+                        "params": {
+                            "p_threshold": 0.05,
+                            "active_time_threshold": 0.05,
+                            "label": "tone",
+                            "recording_name": "ecog",
+                        },
+                    },
+                    {
+                        "module": "channel_selection.discriminative",
+                        "selection_name": "syllable_discriminative",
+                        "params": {
+                            "p_threshold": 0.05,
+                            "active_time_threshold": 0.05,
+                            "label": "syllable",
+                            "recording_name": "ecog",
+                        },
+                    },
+                ],
+            },
+        },
+    }
+    return run_pipeline(config)
+
+
+# ---------------------------------------------------------------------------
+def train_ours(workdir: str, outputs, model_path: str, model_name: str,
+               target: str):
+    """One target through the production training stage (seed-parallel on
+    the attached device); returns (accuracy_all, wall_s)."""
+    import pandas as pd
+
+    from decode_tonal_langauge_tpu.training import train_classifier
+
+    log_dir = os.path.join(workdir, f"logs_{model_name}_{target}")
+    config = {
+        "model": {
+            "model": model_path,
+            "model_name": model_name,
+            "model_kwargs": {},
+        },
+        "training": {
+            "module": "train_classifier",
+            "params": {
+                "io": {
+                    "log_dir": log_dir,
+                    "sample_dir": outputs["sample_collection"],
+                    "channel_selection_dir": outputs["channel_selection"],
+                },
+                "experiment": {
+                    "targets": [target],
+                    "features": "ecog",
+                    "separate_models": False,
+                    "seed": 42,
+                    "repeat": len(SEEDS),
+                    "verbose": 0,
+                },
+                "training": {
+                    "train_ratio": 0.7,
+                    "vali_ratio": 0.1,
+                    "test_ratio": 0.2,
+                    "batch_size": 16,
+                    "epochs": EPOCHS,
+                    "lr": 0.0005,
+                    "patience": EPOCHS,
+                    "standardize": True,
+                },
+            },
+        },
+        "evaluation": {"metrics": ["accuracy"]},
+    }
+    t0 = time.perf_counter()
+    out_dir = train_classifier.run(config)
+    wall = time.perf_counter() - t0
+    df = pd.read_csv(os.path.join(out_dir, "results.csv"))
+    accs = json.loads(df["accuracy_all"].iloc[0])
+    return accs, wall
+
+
+# ---------------------------------------------------------------------------
+def _load_target_features(outputs, target: str):
+    """The same (features, labels) the production trainer saw."""
+    from argparse import Namespace
+
+    from decode_tonal_langauge_tpu.data.sample_loading import (
+        ClassificationSampleHandler,
+    )
+
+    handler = ClassificationSampleHandler(
+        Namespace(
+            sample_path=os.path.join(
+                outputs["sample_collection"], "subject_1.npz"
+            ),
+            channel_file=os.path.join(
+                outputs["channel_selection"], "subject_1.json"
+            ),
+            targets=[target],
+            features="ecog",
+        )
+    )
+    data = handler.load_data()
+    return (
+        data["features"].astype(np.float32),
+        data["labels"].astype(np.int64),
+        data["n_classes_dict"][target],
+    )
+
+
+def torch_cnn_topology(channels: int, length: int, n_classes: int):
+    """The paper CNN, exact reference topology
+    (``/root/reference/models/deep_classifiers.py:62-99``)."""
+    import torch.nn as nn
+
+    widths = [512, 512, 512, 512, 512, 256]
+    layers = []
+    in_ch, t = 1, length
+    for i, w in enumerate(widths):
+        layers += [nn.Conv2d(in_ch, w, (3, 1)), nn.LeakyReLU(0.01)]
+        t = t - 2
+        if i != 4:
+            layers += [nn.MaxPool2d((2, 1))]
+            t = t // 2
+        in_ch = w
+    return nn.Sequential(
+        *layers,
+        nn.Dropout(0.5),
+        nn.Flatten(),
+        nn.Linear(256 * t * channels, 1024),
+        nn.LeakyReLU(0.01),
+        nn.Linear(1024, n_classes),
+        nn.Sigmoid(),
+    )
+
+
+def train_torch_cnn(outputs, target: str = "syllable"):
+    """Torch CNN at matched data/split/epochs; returns (accs, wall_s)."""
+    import torch
+
+    from decode_tonal_langauge_tpu.data.splits import split_indices
+
+    x, y, n_classes = _load_target_features(outputs, target)
+
+    # the production seed stream (reference scheme)
+    np.random.seed(42)
+    seeds = np.random.randint(0, 10000, len(SEEDS))
+
+    accs = []
+    t_start = time.perf_counter()
+    for seed in seeds:
+        tr, va, te = split_indices(x.shape[0], [0.7, 0.1, 0.2], seed=int(seed))
+        mu = x[tr].mean(axis=0, keepdims=True)
+        sd = x[tr].std(axis=0, keepdims=True) + 1e-6
+        xs = (x - mu) / sd
+        torch.manual_seed(int(seed))
+        model = torch_cnn_topology(x.shape[1], x.shape[2], n_classes)
+        opt = torch.optim.NAdam(model.parameters(), lr=5e-4)
+        loss_fn = torch.nn.CrossEntropyLoss()
+        xt = torch.from_numpy(xs).permute(0, 2, 1).unsqueeze(1)  # (B,1,T,C)
+        yt = torch.from_numpy(y)
+        n = len(tr)
+        for epoch in range(EPOCHS):
+            perm = np.random.permutation(tr)
+            model.train()
+            for i in range(0, n, 16):
+                idx = perm[i : i + 16]
+                opt.zero_grad()
+                loss = loss_fn(model(xt[idx]), yt[idx])
+                loss.backward()
+                opt.step()
+        model.eval()
+        with torch.no_grad():
+            preds = model(xt[te]).argmax(dim=1).numpy()
+        accs.append(float((preds == y[te]).mean()))
+        print(f"torch CNN seed {seed}: acc={accs[-1]:.3f}", flush=True)
+    return accs, time.perf_counter() - t_start
+
+
+# ---------------------------------------------------------------------------
+def train_synth_ours(workdir: str, outputs, model: str, epochs: int):
+    from decode_tonal_langauge_tpu.training import train_synthesizer
+
+    cfg_path = os.path.join(workdir, "synth_config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(
+            {
+                "mel_kwargs": {"n_fft": 512, "hop_length": 256, "n_mels": 40},
+                "tone_dynamic_mapping": {
+                    "0": [5, 5, 5], "1": [3, 4, 5], "2": [3, 2, 3], "3": [5, 3, 1]
+                },
+                "n_syllables": 2,
+                "n_tones": 4,
+            },
+            f,
+        )
+    parser = train_synthesizer.build_parser()
+    params = parser.parse_args(
+        [
+            "--sample_path",
+            os.path.join(outputs["sample_collection"], "subject_1.npz"),
+            "--subject_id", "1",
+            "--result_file", os.path.join(workdir, f"synth_{model}.csv"),
+            "--channel_file",
+            os.path.join(outputs["channel_selection"], "subject_1.json"),
+            "--config_file", cfg_path,
+            "--model_name", f"parity_{model}",
+            "--synthesis_model_name", model,
+            "--syllable_model_name", "logistic",
+            "--tone_model_name", "logistic",
+            "--epochs", str(epochs),
+            "--batch_size", "16",
+            "--repeat", str(len(SEEDS)),
+            "--verbose", "0",
+            "--audio_sampling_rate", "8000",
+        ]
+    )
+    t0 = time.perf_counter()
+    summary = train_synthesizer.run(params)
+    return {
+        "mcd_mean": summary["mcd_mean"],
+        "mel_pearson_r_mean": summary["mel_pearson_r_mean"],
+        "wall_s": time.perf_counter() - t0,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/parity_work")
+    ap.add_argument("--skip-torch-cnn", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma list: pipeline,cnn,cnnrnn,synth,torch_cnn")
+    ap.add_argument("--out", default=None, help="output JSON path")
+    args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
+    os.makedirs(args.workdir, exist_ok=True)
+    state_path = os.path.join(args.workdir, "parity_state.json")
+    results = {}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            results = json.load(f)
+
+    def save():
+        with open(state_path, "w") as f:
+            json.dump(results, f, indent=2)
+
+    def wanted(key):
+        return (only is None or key in only) and key not in results
+
+    if "outputs" not in results:
+        build_subject(args.workdir)
+        results["outputs"] = run_pipeline_stages(args.workdir)
+        save()
+    outputs = results["outputs"]
+
+    if wanted("cnn"):
+        accs, wall = train_ours(
+            args.workdir, outputs,
+            "models.deep_classifiers.CNNClassifier", "cnn", "syllable",
+        )
+        results["cnn"] = {"accuracy_all": accs, "wall_s": wall}
+        save()
+
+    if wanted("cnnrnn"):
+        accs, wall = train_ours(
+            args.workdir, outputs,
+            "models.deep_classifiers.CNNRNNClassifier", "cnnrnn", "tone",
+        )
+        results["cnnrnn"] = {"accuracy_all": accs, "wall_s": wall}
+        save()
+
+    if wanted("synth"):
+        results["synth_lite"] = train_synth_ours(
+            args.workdir, outputs, "SynthesisLite", epochs=60
+        )
+        results["synth_cnn"] = train_synth_ours(
+            args.workdir, outputs, "SynthesisModelCNN", epochs=EPOCHS
+        )
+        results["synth"] = True
+        save()
+
+    if not args.skip_torch_cnn and wanted("torch_cnn"):
+        accs, wall = train_torch_cnn(outputs)
+        results["torch_cnn"] = {"accuracy_all": accs, "wall_s": wall}
+        save()
+
+    out_path = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PARITY.json",
+    )
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

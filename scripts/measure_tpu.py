@@ -61,6 +61,39 @@ def config1_logistic():
     return _fit_time(model, x, y, N_SYLLABLES)
 
 
+def config1_logistic_seed_parallel(n_seeds: int = 10):
+    """Config #1 the way the pipeline now runs it: all repeat seeds as
+    ONE vmapped jit (training/seed_parallel.py). Returns (total_s,
+    per_fit_s) — compare per_fit_s against the 0.196 s CPU floor."""
+    from decode_tonal_langauge_tpu.models.simple import (
+        LogisticRegressionClassifier,
+    )
+    from decode_tonal_langauge_tpu.training.seed_parallel import (
+        SeedParallelTrainer,
+    )
+
+    x, y, _ = _data()
+    model = LogisticRegressionClassifier(
+        input_dim=N_CHANNELS * EPOCH_LEN, n_classes=N_SYLLABLES
+    )
+    seeds = list(range(n_seeds))
+    xs = np.stack([x] * n_seeds)
+    ys = np.stack([y] * n_seeds)
+
+    def run():
+        spt = SeedParallelTrainer(
+            model, n_classes=N_SYLLABLES, seeds=seeds,
+            batch_size=16, max_epochs=60, patience=60,
+        )
+        return spt.fit_eval(xs, ys, xs, ys, xs, ys)
+
+    run()  # compile
+    t0 = time.perf_counter()
+    run()
+    total = time.perf_counter() - t0
+    return total, total / n_seeds
+
+
 def config2_anova_and_mlp():
     import jax
     import jax.numpy as jnp
@@ -154,6 +187,9 @@ def main():
 
     out = {"device": str(jax.devices()[0])}
     out["config1_logistic_train60ep_s"] = round(config1_logistic(), 3)
+    total, per_fit = config1_logistic_seed_parallel()
+    out["config1_10seed_vmapped_total_s"] = round(total, 3)
+    out["config1_10seed_vmapped_per_fit_s"] = round(per_fit, 4)
     anova_s, mlp_s = config2_anova_and_mlp()
     out["config2_anova_selection_s"] = round(anova_s, 5)
     out["config2_mlp_train60ep_s"] = round(mlp_s, 3)
