@@ -470,9 +470,15 @@ def bench_preprocess_stage(raw_sr: float = 3052.0, target_sr: float = 400.0,
 
     compute_pass()  # warm the device-resident trace
     n_runs = 10
+    overhead = _readback_overhead()
     t0 = time.perf_counter()
     for _ in range(n_runs):
         compute_pass()
+    # Raw single-dispatch wall time: one fused-chain dispatch + one
+    # scalar readback. On this tunneled chip the readback round trip
+    # (~overhead) dominates; reported alongside so the decomposition
+    # stage_s ~= kernel_s + roundtrip is explicit. Subtracting it is too
+    # noisy (the round trip varies by more than the 5 ms of compute).
     compute_s = (time.perf_counter() - t0) / n_runs
 
     t0 = time.perf_counter()
@@ -483,6 +489,7 @@ def bench_preprocess_stage(raw_sr: float = 3052.0, target_sr: float = 400.0,
         "stage_s": compute_s,
         "stage_throughput": duration_s / compute_s,
         "stage_with_tunnel_io_s": full_s,
+        "tunnel_roundtrip_s": overhead,
     }
 
 
@@ -574,6 +581,7 @@ def main():
                 "preprocess_stage_with_tunnel_io_s": round(
                     stage["stage_with_tunnel_io_s"], 3
                 ),
+                "tunnel_roundtrip_s": round(stage["tunnel_roundtrip_s"], 4),
                 "train_steps_per_s": round(train["train_steps_per_s"], 2),
                 "train_vs_torch_cpu": (
                     round(train["train_speedup"], 2)

@@ -66,20 +66,35 @@ def preprocess_signal(
     num_channels: int = 5,
     duration: float = 1.0,
 ):
-    """Apply preprocessing steps sequentially; returns (data, final_freq)."""
+    """Apply preprocessing steps sequentially; returns (data, final_freq).
+
+    Without figures, the WHOLE step chain runs as one jitted function
+    (cached per steps-config / input shape / signal params): one device
+    dispatch per block instead of one per step, and XLA fuses across
+    step boundaries (e.g. the z-score into the filter output) instead of
+    spilling each intermediate to HBM. Plugins that cannot trace (host
+    side effects, data-dependent shapes) fall back to the eager per-step
+    path automatically.
+    """
+    _apply_step_params(steps, block_params)
+
+    if figure_dir is None:
+        import jax
+
+        try:
+            return _preprocess_signal_fused(data, steps, block_params)
+        except (
+            jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError,
+            jax.errors.TracerBoolConversionError,
+        ) as err:
+            print(
+                f"Preprocessing chain is not jit-traceable ({err}); "
+                "falling back to per-step dispatch."
+            )
+
     for i, step in enumerate(steps):
         module_name = step["module"]
-        step_params = step.get("params", {}) or {}
-
-        for key, value in step_params.items():
-            if hasattr(block_params, key):
-                raise ValueError(
-                    f"Parameter '{key}' already exists in params. "
-                    "Please ensure no conflicting parameter names "
-                    "in each preprocessing step."
-                )
-            setattr(block_params, key, value)
-
         # Materializing the pre-step signal costs a device->host readback
         # per step — only pay it when figures are actually requested.
         before_data = np.asarray(data) if figure_dir else None
@@ -104,3 +119,75 @@ def preprocess_signal(
             )
 
     return data, block_params.signal_freq
+
+
+def _apply_step_params(steps: list, block_params: Namespace) -> None:
+    """Install each step's params on the shared namespace, rejecting
+    collisions (reference contract)."""
+    for step in steps:
+        for key, value in (step.get("params", {}) or {}).items():
+            if hasattr(block_params, key):
+                raise ValueError(
+                    f"Parameter '{key}' already exists in params. "
+                    "Please ensure no conflicting parameter names "
+                    "in each preprocessing step."
+                )
+            setattr(block_params, key, value)
+
+
+# (chain fn, final signal_freq) per (steps, signal params, input spec).
+_FUSED_CHAINS: dict = {}
+
+# Per-block identifiers plugins must not bake into traced compute (they
+# vary per block; including them would defeat the chain cache).
+_FUSE_KEY_EXCLUDE = ("block_id", "subject_id")
+
+
+def _fused_cache_key(data, steps, block_params: Namespace):
+    step_key = tuple(
+        (step["module"], repr(sorted((step.get("params") or {}).items(), key=repr)))
+        for step in steps
+    )
+    param_key = repr(
+        sorted(
+            (
+                (k, v)
+                for k, v in vars(block_params).items()
+                if k not in _FUSE_KEY_EXCLUDE
+            ),
+            key=repr,
+        )
+    )
+    return (step_key, param_key, tuple(data.shape), str(data.dtype))
+
+
+def _preprocess_signal_fused(data, steps: list, block_params: Namespace):
+    import jax
+
+    key = _fused_cache_key(data, steps, block_params)
+    cached = _FUSED_CHAINS.get(key)
+    if cached is None:
+        modules = [registry.resolve(step["module"]) for step in steps]
+        freq_out = {}
+
+        def chain(x):
+            # Fresh namespace per trace: plugins mutate signal_freq.
+            trace_params = Namespace(**vars(block_params))
+            for module in modules:
+                x = module.run(x, trace_params)
+            freq_out["final"] = trace_params.signal_freq
+            return x
+
+        fn = jax.jit(chain)
+        # Abstract trace now (no compile) so a non-traceable plugin
+        # raises here — the caller falls back — and the final
+        # signal_freq is known before the first real call.
+        jax.eval_shape(chain, jax.ShapeDtypeStruct(data.shape, data.dtype))
+        cached = (fn, freq_out["final"])
+        _FUSED_CHAINS[key] = cached
+
+    fn, final_freq = cached
+    out = fn(data)
+    block_params.signal_freq = final_freq  # observable contract of the
+    # eager path: plugins update the namespace's rate as they run
+    return out, final_freq
