@@ -169,3 +169,81 @@ def test_subject_block_pipeline_end_to_end(tmp_path):
     # re-run: same hashed setup dir reused, no error
     setup_dir2 = preprocess_main.run(config)
     assert setup_dir2 == setup_dir
+
+
+class TestFusedChain:
+    """preprocess_signal's one-dispatch fused path: numerics equal to the
+    per-step eager path, cached across blocks, eager fallback for
+    non-traceable plugins."""
+
+    STEPS = [
+        {"module": "downsample", "params": {"downsample_freq": 200}},
+        {
+            "module": "frequency_filter",
+            "params": {
+                "bands": [
+                    {
+                        "method": "hilbert",
+                        "params": {"freq_ranges": [30, 60], "envelope": True},
+                    }
+                ]
+            },
+        },
+        {"module": "zscore_rereference", "params": {"rereference_interval": [0.0, 1.0]}},
+    ]
+
+    def test_fused_matches_stepwise(self, rng, tmp_path):
+        data = rng.standard_normal((3, 2000)).astype(np.float32)
+        fused, freq_fused = preprocessor.preprocess_signal(
+            data, self.STEPS, Namespace(signal_freq=400.0)
+        )
+        # figure_dir forces the per-step eager path
+        fig_dir = str(tmp_path / "figs")
+        os.makedirs(fig_dir, exist_ok=True)
+        stepwise, freq_step = preprocessor.preprocess_signal(
+            data, self.STEPS, Namespace(signal_freq=400.0), figure_dir=fig_dir
+        )
+        assert freq_fused == freq_step == 200
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(stepwise), rtol=1e-5, atol=1e-5
+        )
+
+    def test_chain_is_cached(self, rng):
+        data = rng.standard_normal((3, 2000)).astype(np.float32)
+        preprocessor.preprocess_signal(
+            data, self.STEPS, Namespace(signal_freq=400.0)
+        )
+        n_before = len(preprocessor._FUSED_CHAINS)
+        # same steps/shape, different block ids -> cache hit
+        preprocessor.preprocess_signal(
+            data, self.STEPS,
+            Namespace(signal_freq=400.0, block_id=7, subject_id=2),
+        )
+        assert len(preprocessor._FUSED_CHAINS) == n_before
+
+    def test_untraceable_plugin_falls_back(self, rng, monkeypatch):
+        data = rng.standard_normal((2, 300)).astype(np.float32)
+
+        class HostPlugin:
+            @staticmethod
+            def run(x, params):
+                return np.asarray(x) * 2.0  # np.asarray(tracer) raises
+
+        from decode_tonal_langauge_tpu import registry
+
+        real_resolve = registry.resolve
+        monkeypatch.setattr(
+            registry,
+            "resolve",
+            lambda name: HostPlugin if name == "host_double" else real_resolve(name),
+        )
+        monkeypatch.setattr(
+            preprocessor.registry,
+            "resolve",
+            lambda name: HostPlugin if name == "host_double" else real_resolve(name),
+        )
+        out, freq = preprocessor.preprocess_signal(
+            data, [{"module": "host_double"}], Namespace(signal_freq=400.0)
+        )
+        np.testing.assert_allclose(np.asarray(out), data * 2.0)
+        assert freq == 400.0
