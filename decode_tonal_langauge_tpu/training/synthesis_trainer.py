@@ -95,10 +95,35 @@ class SynthesisTrainer:
             optax.nadam(learning_rate, b1=beta_1, b2=beta_2, eps=epsilon),
         )
 
+        self._opt_config = (
+            learning_rate, beta_1, beta_2, epsilon, schedule_decay,
+        )
         self.params = None
         self.batch_stats: dict = {}
         self._has_bn = False
         self.opt_state = None
+
+    # Config-keyed jit identity: the synthesizer CLI builds one trainer
+    # per repeat seed; per-instance hashing would recompile the whole fit
+    # each time. Frozen-classifier variables and the dynamics table are
+    # baked into the trace as constants, so their object identity is part
+    # of the key (self keeps them alive, so ids cannot be recycled).
+    def _static_key(self):
+        return (
+            type(self), self.model, self.tone_model, self.syllable_model,
+            id(self.tone_variables), id(self.syllable_variables),
+            id(self.dynamics_table), self._opt_config, self.mesh,
+            self._has_bn,
+        )
+
+    def __hash__(self):
+        return hash(self._static_key())
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, SynthesisTrainer)
+            and self._static_key() == other._static_key()
+        )
 
     # ------------------------------------------------------------------
     def init(self, ecog_non: np.ndarray, n_dynamics: int) -> None:
@@ -160,6 +185,9 @@ class SynthesisTrainer:
 
     @partial(jax.jit, static_argnums=(0,))
     def _train_epoch(self, params, batch_stats, opt_state, rng, batches):
+        return self._train_epoch_inner(params, batch_stats, opt_state, rng, batches)
+
+    def _train_epoch_inner(self, params, batch_stats, opt_state, rng, batches):
         def step(carry, batch):
             params, batch_stats, opt_state, rng = carry
             x_non, x_syll, x_tone, targets, w = batch
@@ -224,6 +252,48 @@ class SynthesisTrainer:
         )
         return self._layout.place_stacks(*batches)
 
+    @partial(jax.jit, static_argnums=(0, 1, 2))
+    def _fit_scan(self, epochs, batch_size, params, batch_stats, opt_state,
+                  rng, flat, w_flat):
+        """The whole synthesis fit as ONE compiled computation.
+
+        Scans epochs; each epoch shuffles ON DEVICE and scans batches.
+        The previous per-epoch Python loop re-stacked and re-uploaded the
+        entire train set and read (loss, mcd) back every epoch — one
+        host round trip per epoch, which dominates end to end on
+        dispatch-latency-bound links (same redesign as
+        ``ClassifierTrainer._fit_scan``)."""
+        n = flat[0].shape[0]
+        n_batches = n // batch_size
+
+        def epoch_body(carry, _):
+            params, batch_stats, opt_state, rng = carry
+            rng, perm_rng = jax.random.split(rng)
+            perm = jax.random.permutation(perm_rng, n)
+
+            def to_batches(arr):
+                return self._layout.constrain_stack(
+                    arr[perm].reshape(
+                        (n_batches, batch_size) + arr.shape[1:]
+                    )
+                )
+
+            batches = tuple(to_batches(a) for a in flat) + (
+                to_batches(w_flat),
+            )
+            (
+                params, batch_stats, opt_state, rng, loss, mcd,
+            ) = self._train_epoch_inner(
+                params, batch_stats, opt_state, rng, batches
+            )
+            return (params, batch_stats, opt_state, rng), (loss, mcd)
+
+        (params, batch_stats, opt_state, rng), (losses, mcds) = jax.lax.scan(
+            epoch_body, (params, batch_stats, opt_state, rng), None,
+            length=epochs,
+        )
+        return params, batch_stats, opt_state, rng, losses, mcds
+
     def train(
         self,
         train_data: Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
@@ -237,29 +307,46 @@ class SynthesisTrainer:
             self.init(train_data[0], n_dynamics)
 
         rng = jax.random.key(self.seed)
-        data_rng = np.random.default_rng(self.seed)
-        n = train_data[0].shape[0]
+        batch_size = self._layout.round_batch(batch_size)
 
-        history = []
-        for epoch in range(epochs):
-            order = data_rng.permutation(n)
-            shuffled = tuple(arr[order] for arr in train_data)
-            batches = self._stack(shuffled, batch_size)
-            (
-                self.params,
-                self.batch_stats,
-                self.opt_state,
-                rng,
-                loss,
-                mcd,
-            ) = self._train_epoch(
-                self.params, self.batch_stats, self.opt_state, rng, batches
-            )
-            history.append((float(loss), float(mcd)))
-            if verbose:
+        # Flatten once to padded (N_pad, ...) blocks; per-epoch shuffling
+        # happens on device inside the fit scan.
+        n = train_data[0].shape[0]
+        _, _, w = _stack_batches(
+            np.zeros((n, 1)), np.zeros(n, dtype=np.int32), batch_size
+        )
+
+        def flat(arr):
+            pad = w.size - n
+            if pad:
+                arr = np.concatenate(
+                    [arr, np.repeat(arr[:1], pad, axis=0)], axis=0
+                )
+            return self._layout.replicate_tree(arr.astype(np.float32))
+
+        flat_data = tuple(flat(a) for a in train_data)
+        w_flat = self._layout.replicate_tree(w.reshape(-1))
+
+        (
+            self.params,
+            self.batch_stats,
+            self.opt_state,
+            rng,
+            losses,
+            mcds,
+        ) = self._fit_scan(
+            epochs, batch_size,
+            self.params, self.batch_stats, self.opt_state, rng,
+            flat_data, w_flat,
+        )
+
+        losses, mcds = np.asarray(losses), np.asarray(mcds)
+        history = [(float(l), float(m)) for l, m in zip(losses, mcds)]
+        if verbose:
+            for epoch, (loss, mcd) in enumerate(history):
                 print(
-                    f"Epoch {epoch + 1}/{epochs}, Loss: {float(loss):.4f}, "
-                    f"Mean MCD: {float(mcd):.4f}"
+                    f"Epoch {epoch + 1}/{epochs}, Loss: {loss:.4f}, "
+                    f"Mean MCD: {mcd:.4f}"
                 )
         return history
 

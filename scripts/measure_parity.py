@@ -424,12 +424,18 @@ def main():
         save()
 
     if wanted("synth"):
-        results["synth_lite"] = train_synth_ours(
-            args.workdir, outputs, "SynthesisLite", epochs=60
-        )
-        results["synth_cnn"] = train_synth_ours(
-            args.workdir, outputs, "SynthesisModelCNN", epochs=EPOCHS
-        )
+        if "synth_lite" not in results:
+            results["synth_lite"] = train_synth_ours(
+                args.workdir, outputs, "SynthesisLite", epochs=60
+            )
+            save()
+        if "synth_cnn" not in results:
+            # "SynthesisFull" is the CLI's name for SynthesisModelCNN
+            # (the paper model; models/synthesis.py).
+            results["synth_cnn"] = train_synth_ours(
+                args.workdir, outputs, "SynthesisFull", epochs=EPOCHS
+            )
+            save()
         results["synth"] = True
         save()
 
