@@ -361,3 +361,134 @@ class SynthesisTrainer:
         n = test_data[0].shape[0]
         recon = np.asarray(outs).reshape((-1,) + outs.shape[2:])[:n]
         return float(mcd), recon, np.asarray(test_data[3])
+
+
+def seed_parallel_fit_eval(
+    proto: SynthesisTrainer,
+    seeds,
+    train_stacks: Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
+    test_stacks: Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
+    epochs: int,
+    batch_size: int = 8,
+):
+    """All repeat seeds of one synthesis experiment as ONE vmapped jit.
+
+    The repeat-seed axis promoted to a batch axis, exactly as the
+    classifier's ``training/seed_parallel.py``: per-seed init params,
+    optimizer states, RNG keys, and split gathers are stacked on a
+    leading seed axis and the whole multi-seed fit + test evaluation runs
+    in two device dispatches. ``proto`` carries the shared (frozen
+    classifiers, optimizer, dynamics) configuration; build it with
+    ``mesh=None`` — the seed axis is the parallel axis here.
+
+    ``train_stacks``/``test_stacks``: tuples of (ecog_non, ecog_syll,
+    ecog_tone, mels) with a leading seed axis (sizes are equal across
+    seeds because split sizes depend only on n and the ratios).
+
+    Returns a list over seeds of (history, mcd, recon_mels, origin_mels),
+    matching what the sequential ``train``+``evaluate`` pair produces per
+    seed (parity-tested in ``tests/test_synthesis.py``).
+    """
+    seeds = [int(s) for s in seeds]
+    S = len(seeds)
+    assert train_stacks[0].shape[0] == S
+    B = proto._layout.round_batch(batch_size)
+    n_dyn = proto.dynamics_table.shape[1]
+    labels0 = jnp.zeros((1, 2, n_dyn), dtype=jnp.float32)
+    const_key = jax.random.key(1)
+
+    # ---- flatten the train set to padded (S, N_pad, ...) blocks ----
+    n = train_stacks[0].shape[1]
+    _, _, w = _stack_batches(np.zeros((n, 1)), np.zeros(n, dtype=np.int32), B)
+    pad = w.size - n
+
+    def flat(arr):
+        if pad:
+            arr = np.concatenate(
+                [arr, np.repeat(arr[:, :1], pad, axis=1)], axis=1
+            )
+        return arr.astype(np.float32)
+
+    flat_train = tuple(flat(a) for a in train_stacks)
+    w_flat = w.reshape(-1)
+
+    # _has_bn feeds the static jit key; resolve it abstractly first.
+    shapes = jax.eval_shape(
+        lambda k: proto.model.init(
+            {"params": k, "dropout": const_key},
+            jnp.zeros((1,) + train_stacks[0].shape[2:], jnp.float32),
+            labels0,
+            train=False,
+        ),
+        const_key,
+    )
+    proto._has_bn = "batch_stats" in shapes
+
+    seed_keys = jax.vmap(jax.random.key)(jnp.asarray(seeds, dtype=jnp.uint32))
+
+    def init_and_fit(pkey, flat_tuple, w_arr):
+        # Same RNG contract as the sequential trainer: key(seed) seeds
+        # BOTH the param init and the fit scan; dropout init key is 1.
+        variables = proto.model.init(
+            {"params": pkey, "dropout": const_key},
+            flat_tuple[0][:1], labels0, train=False,
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = proto.optimizer.init(params)
+        return proto._fit_scan(
+            epochs, B, params, batch_stats, opt_state, pkey,
+            flat_tuple, w_arr,
+        )
+
+    params, batch_stats, opt_state, rng, losses, mcds_train = jax.jit(
+        jax.vmap(init_and_fit, in_axes=(0, 0, None))
+    )(seed_keys, flat_train, w_flat)
+
+    # ---- test evaluation, one vmapped dispatch ----
+    nte = test_stacks[0].shape[1]
+    _, _, wt = _stack_batches(
+        np.zeros((nte, 1)), np.zeros(nte, dtype=np.int32), B
+    )
+    pad_t = wt.size - nte
+
+    def stack_test(arr):
+        if pad_t:
+            arr = np.concatenate(
+                [arr, np.repeat(arr[:, :1], pad_t, axis=1)], axis=1
+            )
+        return arr.astype(np.float32).reshape(
+            (S, wt.shape[0], wt.shape[1]) + arr.shape[2:]
+        )
+
+    test_batches = tuple(stack_test(a) for a in test_stacks)
+    wt_j = jnp.asarray(wt)
+
+    mcds_test, outs = jax.jit(
+        jax.vmap(
+            lambda p, bs, xs: proto._eval_epoch(p, bs, xs + (wt_j,)),
+            in_axes=(0, 0, 0),
+        )
+    )(params, batch_stats, test_batches)
+
+    losses = np.asarray(losses)
+    mcds_train = np.asarray(mcds_train)
+    mcds_test = np.asarray(mcds_test)
+    outs = np.asarray(outs)
+
+    # Expose per-seed n_params via the proto (equal across seeds).
+    proto.params = jax.tree_util.tree_map(lambda leaf: leaf[0], params)
+    proto.batch_stats = jax.tree_util.tree_map(
+        lambda leaf: leaf[0], batch_stats
+    )
+
+    results = []
+    for i in range(S):
+        history = [
+            (float(l), float(m)) for l, m in zip(losses[i], mcds_train[i])
+        ]
+        recon = outs[i].reshape((-1,) + outs.shape[3:])[:nte]
+        results.append(
+            (history, float(mcds_test[i]), recon, np.asarray(test_stacks[3][i]))
+        )
+    return results

@@ -28,7 +28,7 @@ from ..models.simple import LogisticRegressionClassifier, ShallowNNClassifier
 from ..models.synthesis import SynthesisLite, SynthesisModelCNN
 from ..utils.audio import audio_to_mel, compare_mels, mel_to_audio, write_wav
 from ..utils.visualise import plot_training_losses
-from .synthesis_trainer import SynthesisTrainer
+from .synthesis_trainer import SynthesisTrainer, seed_parallel_fit_eval
 
 SYNTHESIS_MODELS = ["SynthesisLite", "SynthesisFull"]
 
@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
     # ----- Experiment -----
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--repeat", type=int, default=1)
+    parser.add_argument(
+        "--seed_parallel", type=int, default=1,
+        help="Fit all repeat seeds as one vmapped jit (1, default) or "
+        "loop seeds sequentially (0).",
+    )
     parser.add_argument("--verbose", type=int, default=1)
     # ----- Training -----
     parser.add_argument("--train_ratio", type=float, default=0.9)
@@ -252,17 +257,12 @@ def run(params: argparse.Namespace) -> dict:
     if mesh is not None:
         print(f"synthesis training on mesh {dict(mesh.shape)}")
 
-    mcds = []
-    pearson_rs = []
-    last = None
-    for seed in seeds:
-        idx_splits = split_indices(ecog_non.shape[0], ratios, seed=int(seed))
-        tr_idx, te_idx = idx_splits[0], idx_splits[-1]
-
+    def make_trainer(seed: int) -> SynthesisTrainer:
         synthesis_model = build_synthesis_model(
-            params.synthesis_model_name, mels.shape[1], ecog_non.shape[1], n_timepoints
+            params.synthesis_model_name, mels.shape[1], ecog_non.shape[1],
+            n_timepoints,
         )
-        trainer = SynthesisTrainer(
+        return SynthesisTrainer(
             synthesis_model,
             tone_model,
             tone_variables,
@@ -274,27 +274,58 @@ def run(params: argparse.Namespace) -> dict:
             beta_2=getattr(params, "beta_2", 0.999),
             epsilon=getattr(params, "epsilon", 1e-8),
             schedule_decay=getattr(params, "schedule_decay", 0.004),
-            seed=int(seed),
+            seed=seed,
             mesh=mesh,
             verbose=params.verbose > 0,
         )
 
-        train_data = tuple(
-            arr[tr_idx] for arr in (ecog_non, ecog_syllables, ecog_tones, mels)
-        )
-        test_data = tuple(
-            arr[te_idx] for arr in (ecog_non, ecog_syllables, ecog_tones, mels)
-        )
+    splits = [
+        split_indices(ecog_non.shape[0], ratios, seed=int(seed))
+        for seed in seeds
+    ]
+    arrays = (ecog_non, ecog_syllables, ecog_tones, mels)
 
-        history = trainer.train(
-            train_data,
-            epochs=params.epochs,
-            batch_size=params.batch_size,
-            verbose=params.verbose > 1,
+    # All repeat seeds as one vmapped jit (SURVEY §2.7's repeat axis; same
+    # redesign as the classifier's seed_parallel). A mesh keeps the
+    # sequential per-seed path: there the per-BATCH axis is sharded.
+    seed_parallel = (
+        bool(getattr(params, "seed_parallel", True))
+        and len(seeds) > 1
+        and mesh is None
+    )
+    if seed_parallel:
+        trainer = make_trainer(int(seeds[0]))
+        train_stacks = tuple(
+            np.stack([arr[s[0]] for s in splits]) for arr in arrays
         )
-        mcd, recon_mels, origin_mels = trainer.evaluate(
-            test_data, batch_size=params.batch_size
+        test_stacks = tuple(
+            np.stack([arr[s[-1]] for s in splits]) for arr in arrays
         )
+        per_seed = seed_parallel_fit_eval(
+            trainer, [int(s) for s in seeds], train_stacks, test_stacks,
+            epochs=params.epochs, batch_size=params.batch_size,
+        )
+    else:
+        per_seed = []
+        for seed, idx_splits in zip(seeds, splits):
+            tr_idx, te_idx = idx_splits[0], idx_splits[-1]
+            trainer = make_trainer(int(seed))
+            history = trainer.train(
+                tuple(arr[tr_idx] for arr in arrays),
+                epochs=params.epochs,
+                batch_size=params.batch_size,
+                verbose=params.verbose > 1,
+            )
+            mcd, recon_mels, origin_mels = trainer.evaluate(
+                tuple(arr[te_idx] for arr in arrays),
+                batch_size=params.batch_size,
+            )
+            per_seed.append((history, mcd, recon_mels, origin_mels))
+
+    mcds = []
+    pearson_rs = []
+    last = None
+    for seed, (history, mcd, recon_mels, origin_mels) in zip(seeds, per_seed):
         mcds.append(mcd)
         # Spectrogram fidelity: Pearson r between reconstructed and
         # origin test mels (the BASELINE target metric alongside MCD).

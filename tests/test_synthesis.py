@@ -193,3 +193,70 @@ class TestSynthesizerCLI:
             train_synthesizer.build_classifier("nope", 2, 3, 10)
         with pytest.raises(ValueError):
             train_synthesizer.build_synthesis_model("nope", 2, 3, 10)
+
+
+class TestSeedParallelSynthesis:
+    def test_vmapped_seeds_match_sequential(self, rng):
+        """seed_parallel_fit_eval must reproduce the sequential per-seed
+        train+evaluate pair (histories and test MCD)."""
+        import jax
+
+        from decode_tonal_langauge_tpu.data.splits import split_indices
+        from decode_tonal_langauge_tpu.training.synthesis_trainer import (
+            seed_parallel_fit_eval,
+        )
+
+        ecog_non, ecog_syll, ecog_tone, mels, _, _ = _toy_synthesis_data(rng)
+        c_cls, t = ecog_syll.shape[1], ecog_syll.shape[2]
+        tone_model = LogisticRegressionClassifier(input_dim=c_cls * t, n_classes=4)
+        syll_model = LogisticRegressionClassifier(input_dim=c_cls * t, n_classes=2)
+        tone_vars = tone_model.init(
+            {"params": jax.random.key(0)}, ecog_tone[:1], train=False
+        )
+        syll_vars = syll_model.init(
+            {"params": jax.random.key(1)}, ecog_syll[:1], train=False
+        )
+        arrays = (ecog_non, ecog_syll, ecog_tone, mels)
+        seeds = [5, 11]
+        splits = [
+            split_indices(ecog_non.shape[0], [0.8, 0.2], seed=s) for s in seeds
+        ]
+
+        def make_trainer(seed):
+            model = SynthesisLite(
+                output_dim=mels.shape[1], n_channels=ecog_non.shape[1],
+                n_timepoints=t,
+            )
+            return SynthesisTrainer(
+                model, tone_model, tone_vars, syll_model, syll_vars,
+                TONE_MAPPING, learning_rate=2e-3, seed=seed, verbose=False,
+            )
+
+        # sequential reference
+        seq = []
+        for seed, (tr, te) in zip(seeds, splits):
+            trainer = make_trainer(seed)
+            hist = trainer.train(
+                tuple(a[tr] for a in arrays), epochs=3, batch_size=8,
+                verbose=False,
+            )
+            mcd, recon, origin = trainer.evaluate(
+                tuple(a[te] for a in arrays), batch_size=8
+            )
+            seq.append((hist, mcd, recon))
+
+        # vmapped
+        proto = make_trainer(seeds[0])
+        par = seed_parallel_fit_eval(
+            proto, seeds,
+            tuple(np.stack([a[s[0]] for s in splits]) for a in arrays),
+            tuple(np.stack([a[s[-1]] for s in splits]) for a in arrays),
+            epochs=3, batch_size=8,
+        )
+
+        for (h_s, mcd_s, recon_s), (h_p, mcd_p, recon_p, _) in zip(seq, par):
+            assert mcd_p == pytest.approx(mcd_s, rel=2e-3)
+            for (l_s, m_s), (l_p, m_p) in zip(h_s, h_p):
+                assert l_p == pytest.approx(l_s, rel=2e-3, abs=1e-4)
+                assert m_p == pytest.approx(m_s, rel=2e-3)
+            np.testing.assert_allclose(recon_p, recon_s, rtol=5e-2, atol=5e-3)
