@@ -363,6 +363,44 @@ class SynthesisTrainer:
         return float(mcd), recon, np.asarray(test_data[3])
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _batched_synth_fit_and_eval(proto: "SynthesisTrainer", epochs: int,
+                                batch_size: int, has_bn: bool):
+    """jit(vmap(...)) callables per trainer config, built ONCE — a fresh
+    jit wrapper per call would recompile the whole multi-seed fit every
+    invocation (same trap as the classifier's seed-parallel path)."""
+    n_dyn = proto.dynamics_table.shape[1]
+    labels0 = jnp.zeros((1, 2, n_dyn), dtype=jnp.float32)
+    const_key = jax.random.key(1)
+
+    def init_and_fit(pkey, flat_tuple, w_arr):
+        # Same RNG contract as the sequential trainer: key(seed) seeds
+        # BOTH the param init and the fit scan; dropout init key is 1.
+        variables = proto.model.init(
+            {"params": pkey, "dropout": const_key},
+            flat_tuple[0][:1], labels0, train=False,
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = proto.optimizer.init(params)
+        return proto._fit_scan(
+            epochs, batch_size, params, batch_stats, opt_state, pkey,
+            flat_tuple, w_arr,
+        )
+
+    fit = jax.jit(jax.vmap(init_and_fit, in_axes=(0, 0, None)))
+    evaluate = jax.jit(
+        jax.vmap(
+            lambda p, bs, xs, wt: proto._eval_epoch(p, bs, xs + (wt,)),
+            in_axes=(0, 0, 0, None),
+        )
+    )
+    return fit, evaluate
+
+
 def seed_parallel_fit_eval(
     proto: SynthesisTrainer,
     seeds,
@@ -426,24 +464,11 @@ def seed_parallel_fit_eval(
 
     seed_keys = jax.vmap(jax.random.key)(jnp.asarray(seeds, dtype=jnp.uint32))
 
-    def init_and_fit(pkey, flat_tuple, w_arr):
-        # Same RNG contract as the sequential trainer: key(seed) seeds
-        # BOTH the param init and the fit scan; dropout init key is 1.
-        variables = proto.model.init(
-            {"params": pkey, "dropout": const_key},
-            flat_tuple[0][:1], labels0, train=False,
-        )
-        params = variables["params"]
-        batch_stats = variables.get("batch_stats", {})
-        opt_state = proto.optimizer.init(params)
-        return proto._fit_scan(
-            epochs, B, params, batch_stats, opt_state, pkey,
-            flat_tuple, w_arr,
-        )
+    fit, evaluate = _batched_synth_fit_and_eval(proto, epochs, B, proto._has_bn)
 
-    params, batch_stats, opt_state, rng, losses, mcds_train = jax.jit(
-        jax.vmap(init_and_fit, in_axes=(0, 0, None))
-    )(seed_keys, flat_train, w_flat)
+    params, batch_stats, opt_state, rng, losses, mcds_train = fit(
+        seed_keys, flat_train, w_flat
+    )
 
     # ---- test evaluation, one vmapped dispatch ----
     nte = test_stacks[0].shape[1]
@@ -464,12 +489,7 @@ def seed_parallel_fit_eval(
     test_batches = tuple(stack_test(a) for a in test_stacks)
     wt_j = jnp.asarray(wt)
 
-    mcds_test, outs = jax.jit(
-        jax.vmap(
-            lambda p, bs, xs: proto._eval_epoch(p, bs, xs + (wt_j,)),
-            in_axes=(0, 0, 0),
-        )
-    )(params, batch_stats, test_batches)
+    mcds_test, outs = evaluate(params, batch_stats, test_batches, wt_j)
 
     losses = np.asarray(losses)
     mcds_train = np.asarray(mcds_train)

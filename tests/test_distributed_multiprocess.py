@@ -92,7 +92,9 @@ def test_two_process_initialize_and_collective(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=240)
+            # Generous: under a loaded host (parallel test workers, bench
+            # jobs) process startup + compile can take minutes.
+            out, err = p.communicate(timeout=420)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
