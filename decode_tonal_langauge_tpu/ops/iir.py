@@ -277,18 +277,25 @@ def lfilter(
         return jnp.moveaxis(y, -1, axis)
     if x_moved.shape[-1] > IIR_SCAN_LIMIT:
         # order > 2 with zi: a tf-form initial state has no per-biquad
-        # decomposition, so the blocked cascade cannot honor it — this
-        # falls to the exact timestep scan (~2 us/step on-chip). Loud, so
-        # callers can restructure (filter sections with per-section zi).
+        # decomposition, so the blocked cascade cannot honor it. On TPU
+        # the exact recurrence runs as a Pallas kernel (state in VMEM,
+        # ~60 ns/step — ~30x the lax.scan); elsewhere fall back to the
+        # timestep scan with a loud warning.
+        if jax.default_backend() == "tpu":
+            from .pallas_iir import lfilter_pallas
+
+            y, zf = lfilter_pallas(b, a, x_moved, zi=zi)
+            return jnp.moveaxis(y, -1, axis), zf
         import warnings
 
         warnings.warn(
             f"lfilter: order-{order} filter with zi on a "
             f"{x_moved.shape[-1]}-sample signal runs the sequential "
             "timestep scan (no blocked path exists for tf-form initial "
-            "state above biquad order); expect ~2 us/sample on TPU. "
-            "Split the filter into SOS sections with per-section zi, or "
-            "pass zi=None to use the blocked biquad cascade.",
+            "state above biquad order, and the Pallas kernel needs a "
+            "TPU); expect ~2 us/sample. Split the filter into SOS "
+            "sections with per-section zi, or pass zi=None to use the "
+            "blocked biquad cascade.",
             stacklevel=2,
         )
 

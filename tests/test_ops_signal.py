@@ -157,6 +157,42 @@ class TestIIR:
             iir.lfilter(b, a, x, zi=zi)
         assert any("timestep scan" in str(w.message) for w in caught)
 
+    def test_lfilter_pallas_matches_scipy(self, rng):
+        """The Pallas DF2T kernel (interpret mode on this CPU backend):
+        SciPy parity for y and zf, high order, with and without zi."""
+        from decode_tonal_langauge_tpu.ops.pallas_iir import lfilter_pallas
+
+        b, a = sps.butter(4, [0.1, 0.4], btype="bandpass")  # order-8 tf
+        x = _sig(rng, 3, 1000)
+        zi = sps.lfilter_zi(b, a)
+        zi_x = (zi[None] * x[:, :1].astype(np.float64))
+
+        ours, zf = lfilter_pallas(b, a, x, zi=zi_x.astype(np.float32))
+        ref, ref_zf = sps.lfilter(b, a, x.astype(np.float64), zi=zi_x, axis=-1)
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(zf), ref_zf, rtol=1e-3, atol=1e-3)
+
+        y2 = lfilter_pallas(b, a, x)
+        ref2 = sps.lfilter(b, a, x.astype(np.float64), axis=-1)
+        np.testing.assert_allclose(np.asarray(y2), ref2, rtol=1e-3, atol=1e-3)
+
+    def test_lfilter_pallas_chunk_boundary_state(self, rng):
+        """State must carry across time-chunk grid steps and freeze in
+        the zero-padded tail (zf == state after the LAST real sample)."""
+        from decode_tonal_langauge_tpu.ops import pallas_iir
+
+        b, a = sps.butter(2, 0.3)
+        t = pallas_iir._CHUNK + 37  # forces 2 grid steps + ragged tail
+        x = _sig(rng, 1, t)
+        ours, zf = pallas_iir.lfilter_pallas(
+            b, a, x, zi=np.zeros((1, 2), np.float32)
+        )
+        ref, ref_zf = sps.lfilter(
+            b, a, x.astype(np.float64), zi=np.zeros((1, 2)), axis=-1
+        )
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(zf), ref_zf, rtol=1e-3, atol=1e-3)
+
     def test_filtfilt_matches_scipy(self, rng):
         b, a = sps.butter(4, [0.05, 0.45], btype="bandpass")
         x = _sig(rng, 3, 2000)
