@@ -252,7 +252,9 @@ class SynthesisTrainer:
         )
         return self._layout.place_stacks(*batches)
 
-    @partial(jax.jit, static_argnums=(0, 1, 2))
+    # Donation: see ClassifierTrainer._fit_scan — the caller reassigns
+    # all four state buffers from the outputs, so XLA may reuse their HBM.
+    @partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3, 4, 5, 6))
     def _fit_scan(self, epochs, batch_size, params, batch_stats, opt_state,
                   rng, flat, w_flat):
         """The whole synthesis fit as ONE compiled computation.

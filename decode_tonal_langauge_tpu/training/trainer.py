@@ -202,7 +202,12 @@ class ClassifierTrainer:
         """Pin the per-batch sample axis of a scanned stack to `data`."""
         return self._layout.constrain_stack(arr)
 
-    @partial(jax.jit, static_argnums=(0, 1, 2))
+    # Donation: the incoming params/opt-state/rng buffers are dead after
+    # the fit (fit() reassigns them from the outputs), so XLA reuses
+    # their HBM for the results instead of allocating a second copy of
+    # the training state (alias correctness tested in
+    # tests/test_runtime.py::TestDonation).
+    @partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3, 4, 5, 6))
     def _fit_scan(
         self, n_epochs, patience,
         params, batch_stats, opt_state, rng,

@@ -96,3 +96,61 @@ class TestCheckpoint:
         t2.init(x)
         t2.params = checkpoint.load_params(path, like=t2.params)
         np.testing.assert_array_equal(t1.predict(x), t2.predict(x))
+
+
+class TestDonation:
+    """jit-donation / alias correctness (SURVEY §5's sanitizer stand-in):
+    the whole-fit jits donate the training-state buffers; results must be
+    bitwise-deterministic and the donated inputs must either be released
+    (TPU) or left untouched (backends that ignore donation)."""
+
+    def _fit_once(self, x, y):
+        from decode_tonal_langauge_tpu.models.simple import (
+            LogisticRegressionClassifier,
+        )
+        from decode_tonal_langauge_tpu.training.trainer import ClassifierTrainer
+
+        model = LogisticRegressionClassifier(input_dim=8, n_classes=2)
+        trainer = ClassifierTrainer(
+            model, n_classes=2, batch_size=8, max_epochs=4, seed=0,
+            learning_rate=1e-2,
+        )
+        trainer.init(x)
+        pre_params = trainer.params
+        pre_copy = jax.tree_util.tree_map(
+            lambda leaf: np.array(leaf), pre_params
+        )
+        res = trainer.fit(x[:24], y[:24], x[24:], y[24:])
+        return res, pre_params, pre_copy, trainer
+
+    def test_fit_deterministic_under_donation(self, rng):
+        x = rng.standard_normal((32, 8)).astype(np.float32)
+        y = rng.integers(0, 2, 32).astype(np.int32)
+        r1, _, _, t1 = self._fit_once(x, y)
+        r2, _, _, t2 = self._fit_once(x, y)
+        assert [row["train/loss"] for row in r1.history] == [
+            row["train/loss"] for row in r2.history
+        ]
+        for a, b in zip(
+            jax.tree_util.tree_leaves(t1.params),
+            jax.tree_util.tree_leaves(t2.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_donated_inputs_released_or_untouched(self, rng):
+        x = rng.standard_normal((32, 8)).astype(np.float32)
+        y = rng.integers(0, 2, 32).astype(np.int32)
+        _, pre_params, pre_copy, trainer = self._fit_once(x, y)
+        for leaf, copy in zip(
+            jax.tree_util.tree_leaves(pre_params),
+            jax.tree_util.tree_leaves(pre_copy),
+        ):
+            try:
+                value = np.asarray(leaf)
+            except RuntimeError:
+                continue  # buffer donated and deleted — the TPU behavior
+            # donation ignored on this backend: the old buffer must be
+            # byte-identical to its pre-fit snapshot (no aliasing bug)
+            np.testing.assert_array_equal(value, copy)
+        # and the trainer's post-fit params are NOT the donated objects
+        assert trainer.params is not pre_params
