@@ -209,7 +209,7 @@ def bench_preprocess():
     }
 
 
-def _scanned_train_step_time(model, x, y, n_runs=30, apply_kwargs=None):
+def _scanned_train_step_time(model, x, y, n_runs=30):
     """(seconds_per_step, flops_per_step) for an NAdam train step of a
     Flax classifier-shaped model, N real steps inside one jitted scan; a
     readback forces completion (block_until_ready is unreliable here)."""

@@ -281,7 +281,12 @@ def lfilter(
         # the exact recurrence runs as a Pallas kernel (state in VMEM,
         # ~60 ns/step — ~30x the lax.scan); elsewhere fall back to the
         # timestep scan with a loud warning.
-        if jax.default_backend() == "tpu":
+        if (
+            jax.default_backend() == "tpu"
+            and jnp.result_type(x_moved.dtype) == jnp.float32
+        ):
+            # (f32 only: the kernel computes in f32; f64 inputs under
+            # jax_enable_x64 keep the dtype-preserving scan below.)
             from .pallas_iir import lfilter_pallas
 
             y, zf = lfilter_pallas(b, a, x_moved, zi=zi)
@@ -299,17 +304,28 @@ def lfilter(
             stacklevel=2,
         )
 
+    return_zf = zi is not None
+    y, zf = _lfilter_scan_path(b, a, x_moved, zi)
+    y = jnp.moveaxis(y, -1, axis)
+    if return_zf:
+        return y, zf
+    return y
+
+
+def _lfilter_scan_path(b, a, x: jax.Array, zi):
+    """Normalize/pad coefficients and run the exact timestep scan over
+    the last axis (the short-signal path; also used directly by
+    ``filtfilt``, whose internal odd extension must not re-enter
+    ``lfilter``'s long-signal dispatch)."""
     b = jnp.asarray(b, dtype=jnp.result_type(jnp.asarray(b).dtype, x.dtype))
     a = jnp.asarray(a, dtype=b.dtype)
     b = b / a[0]
     a = a / a[0]
-    x = x_moved
 
     n = max(b.shape[0], a.shape[0])
     b = jnp.pad(b, (0, n - b.shape[0]))
     a = jnp.pad(a, (0, n - a.shape[0]))
 
-    return_zf = zi is not None
     if zi is None:
         zi_arr = jnp.zeros(x.shape[:-1] + (n - 1,), dtype=x.dtype)
     else:
@@ -317,11 +333,7 @@ def lfilter(
             jnp.asarray(zi, dtype=x.dtype), x.shape[:-1] + (n - 1,)
         )
 
-    y, zf = _lfilter_scan(b, a, x, zi_arr)
-    y = jnp.moveaxis(y, -1, axis)
-    if return_zf:
-        return y, zf
-    return y
+    return _lfilter_scan(b, a, x, zi_arr)
 
 
 def filtfilt(b, a, x: jax.Array, axis: int = -1) -> jax.Array:
@@ -353,9 +365,12 @@ def filtfilt(b, a, x: jax.Array, axis: int = -1) -> jax.Array:
 
     zi = lfilter_zi(b_np, a_np)  # host-side, static
     zi_j = jnp.asarray(zi, dtype=x.dtype)
-    y, _ = lfilter(b_np, a_np, ext, zi=zi_j * ext[..., :1])
+    # Direct scan path: the odd extension can push a just-under-limit
+    # signal over IIR_SCAN_LIMIT, which must not re-enter lfilter's
+    # long-signal dispatch (wrong warning / different kernel).
+    y, _ = _lfilter_scan_path(b_np, a_np, ext, zi_j * ext[..., :1])
     y = y[..., ::-1]
-    y, _ = lfilter(b_np, a_np, y, zi=zi_j * y[..., :1])
+    y, _ = _lfilter_scan_path(b_np, a_np, y, zi_j * y[..., :1])
     y = y[..., ::-1]
 
     y = y[..., padlen:-padlen]

@@ -91,16 +91,34 @@ def mesh_from_config(parallel_cfg) -> Optional[Mesh]:
     return make_mesh(data * model, axis_names=("data", "model"), shape=(data, model))
 
 
+def global_device_put(arr, sharding: NamedSharding):
+    """``device_put`` that also works on cross-host meshes.
+
+    Single-process: plain ``device_put``. Multi-process (every host holds
+    the full host-local copy of ``arr``, lockstep SPMD): each process
+    contributes only its addressable shards via
+    ``make_array_from_callback`` — a plain device_put would try to write
+    other hosts' devices and fail."""
+    if jax.process_count() <= 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
 def shard_batch(mesh: Mesh, arr, axis: str = "data"):
     """Place ``arr`` with its leading dim sharded over ``axis``."""
     spec = P(axis, *([None] * (np.ndim(arr) - 1)))
-    return jax.device_put(arr, NamedSharding(mesh, spec))
+    return global_device_put(arr, NamedSharding(mesh, spec))
 
 
 def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree across the mesh."""
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree_util.tree_map(
+        lambda x: global_device_put(x, sharding), tree
+    )
 
 
 def batch_spec(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
@@ -137,7 +155,8 @@ class DataParallelLayout:
         if self.mesh is None:
             return stacks
         return tuple(
-            jax.device_put(s, self.stack_sharding(np.ndim(s))) for s in stacks
+            global_device_put(s, self.stack_sharding(np.ndim(s)))
+            for s in stacks
         )
 
     def replicate_tree(self, tree):
@@ -145,7 +164,7 @@ class DataParallelLayout:
         if self.mesh is None:
             return tree
         return jax.tree_util.tree_map(
-            lambda leaf: jax.device_put(leaf, self._replicated), tree
+            lambda leaf: global_device_put(leaf, self._replicated), tree
         )
 
     def constrain_stack(self, arr):

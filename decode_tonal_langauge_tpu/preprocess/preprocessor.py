@@ -92,6 +92,15 @@ def preprocess_signal(
                 f"Preprocessing chain is not jit-traceable ({err}); "
                 "falling back to per-step dispatch."
             )
+        except jax.errors.JaxRuntimeError as err:
+            # The chain traced but failed to compile/execute as ONE
+            # program (e.g. scratch OOM a per-step schedule avoids).
+            # Poison the cache so later blocks skip the fused attempt.
+            _FUSED_CHAINS[_fused_cache_key(data, steps, block_params)] = None
+            print(
+                f"Fused preprocessing chain failed at runtime ({err}); "
+                "falling back to per-step dispatch."
+            )
 
     for i, step in enumerate(steps):
         module_name = step["module"]
@@ -166,6 +175,13 @@ def _preprocess_signal_fused(data, steps: list, block_params: Namespace):
 
     key = _fused_cache_key(data, steps, block_params)
     cached = _FUSED_CHAINS.get(key)
+    if cached is None and key in _FUSED_CHAINS:
+        # Poisoned: this chain failed to compile/run fused before.
+        import jax
+
+        raise jax.errors.JaxRuntimeError(
+            "fused preprocessing chain previously failed; using eager path"
+        )
     if cached is None:
         modules = [registry.resolve(step["module"]) for step in steps]
         freq_out = {}

@@ -122,28 +122,27 @@ class SeedParallelTrainer:
         )
 
     # ------------------------------------------------------------------
-    def _seed_sharding(self, n_seeds: int):
-        """NamedSharding for the leading seed axis, if the mesh divides it."""
+    def _seed_mesh(self, n_seeds: int):
+        """The mesh, when its ``data`` axis can shard the seed axis."""
         if self.mesh is None:
             return None
         dp = int(self.mesh.shape.get("data", 1))
         if dp <= 1 or n_seeds % dp != 0:
             return None
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        return self.mesh, NamedSharding(self.mesh, P("data"))
+        return self.mesh
 
     def _place(self, tree):
         """Shard every leaf's leading (seed) axis over ``data`` if possible."""
-        placed = self._seed_sharding(len(self.seeds))
-        if placed is None:
+        mesh = self._seed_mesh(len(self.seeds))
+        if mesh is None:
             return tree
-        mesh, _ = placed
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import global_device_put
 
         def put(leaf):
             spec = P("data", *([None] * (np.ndim(leaf) - 1)))
-            return jax.device_put(leaf, NamedSharding(mesh, spec))
+            return global_device_put(leaf, NamedSharding(mesh, spec))
 
         return jax.tree_util.tree_map(put, tree)
 

@@ -98,6 +98,15 @@ class SynthesisTrainer:
         self._opt_config = (
             learning_rate, beta_1, beta_2, epsilon, schedule_decay,
         )
+        # Frozen-classifier identity captured BEFORE init() may rebind
+        # the attributes to mesh-replicated copies — per-seed trainers
+        # share the originals, so keying on the construction-time ids
+        # keeps the jit cache shared across seeds (the replicated copies
+        # hold identical values, so a cache hit is semantically safe).
+        self._frozen_ids = (
+            id(tone_variables), id(syllable_variables), id(self.dynamics_table),
+        )
+        self._frozen_refs = (tone_variables, syllable_variables)  # keep alive
         self.params = None
         self.batch_stats: dict = {}
         self._has_bn = False
@@ -111,9 +120,7 @@ class SynthesisTrainer:
     def _static_key(self):
         return (
             type(self), self.model, self.tone_model, self.syllable_model,
-            id(self.tone_variables), id(self.syllable_variables),
-            id(self.dynamics_table), self._opt_config, self.mesh,
-            self._has_bn,
+            self._frozen_ids, self._opt_config, self.mesh, self._has_bn,
         )
 
     def __hash__(self):

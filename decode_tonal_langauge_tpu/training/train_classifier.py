@@ -109,11 +109,26 @@ def run(config: dict) -> str:
 
     subject_filter = _prepare_subject_filter(params, subject_files)
 
-    # Multi-host: each process trains its round-robin share of subjects
-    # (identity under a single process).
+    # Multi-host: two regimes. WITHOUT a cross-host mesh, each process
+    # trains its round-robin share of subjects independently (identity
+    # under a single process). WITH a mesh spanning processes, every
+    # process must launch the SAME computation in the same order
+    # (multi-controller SPMD), so all processes run all subjects in
+    # lockstep and non-zero ranks redirect file outputs to a scratch
+    # subdir (rank 0's outputs are canonical).
+    import jax
+
     from ..parallel.distributed import host_shard
 
-    subject_files = host_shard(subject_files)
+    lockstep = params.mesh is not None and jax.process_count() > 1
+    if lockstep:
+        if jax.process_index() != 0:
+            params.log_dir = os.path.join(
+                params.log_dir, f".process{jax.process_index()}"
+            )
+            os.makedirs(params.log_dir, exist_ok=True)
+    else:
+        subject_files = host_shard(subject_files)
 
     for subject_file in subject_files:
         subject_id = subject_file.split("_")[1].split(".")[0]

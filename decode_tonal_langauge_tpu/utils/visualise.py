@@ -285,10 +285,16 @@ def plot_metric(
     if isinstance(chance_level, dict):
         # Per-target chance levels ({target_label: level}) — one dashed
         # line each (a single line is wrong when joint + per-target rows
-        # share the figure: chance is 1/prod vs 1/n_classes).
+        # share the figure: chance is 1/prod vs 1/n_classes). Grey shades
+        # + distinct dashes: series colors stay reserved for the scatter
+        # (a tab10 chance line would falsely pair with a model series).
+        styles = ["--", ":", "-.", (0, (5, 1))]
         for ci, (target, level) in enumerate(sorted(chance_level.items())):
             ax.axhline(
-                float(level), color=cmap(ci), linestyle="--", alpha=0.6,
+                float(level),
+                color=str(0.25 + 0.15 * (ci % 4)),
+                linestyle=styles[ci % len(styles)],
+                alpha=0.8,
                 label=f"chance ({target})",
             )
     elif chance_level is not None:
