@@ -331,6 +331,115 @@ def train_torch_cnn(outputs, target: str = "syllable"):
 
 
 # ---------------------------------------------------------------------------
+def train_torch_synth(outputs, epochs: int = 60):
+    """Torch SynthesisLite at matched data/mels/splits/epochs.
+
+    Same mels (our deterministic codec), same channel subsets, same split
+    seed stream. One approximation: label dynamics come from TRUE labels
+    instead of frozen-classifier predictions — at this subject's
+    separability the classifiers are ~100% accurate, so the inputs match.
+    """
+    import torch
+    import torch.nn as nn
+
+    from decode_tonal_langauge_tpu.data.splits import split_indices
+    from decode_tonal_langauge_tpu.data.utils import (
+        select_non_discriminative_channels,
+        tone_dynamics_table,
+    )
+    from decode_tonal_langauge_tpu.training.synthesis_trainer import compute_mcd
+    from decode_tonal_langauge_tpu.utils.audio import audio_to_mel
+
+    data = np.load(os.path.join(outputs["sample_collection"], "subject_1.npz"))
+    with open(os.path.join(outputs["channel_selection"], "subject_1.json")) as f:
+        selections = json.load(f)
+    non_idx = select_non_discriminative_channels(
+        selections, ["tone_discriminative", "syllable_discriminative"]
+    )
+    ecog = data["ecog"][:, non_idx, :].astype(np.float32)
+    mels = np.stack(
+        [
+            audio_to_mel(
+                a, 8000,
+                mel_kwargs={"n_fft": 512, "hop_length": 256, "n_mels": 40},
+            )
+            for a in data["audio"]
+        ]
+    ).astype(np.float32)
+    mapping = {"0": [5, 5, 5], "1": [3, 4, 5], "2": [3, 2, 3], "3": [5, 3, 1]}
+    table, n_dyn = tone_dynamics_table(mapping)
+    contour = table[data["tone"].astype(int)]
+    labels = np.stack(
+        [
+            np.broadcast_to(
+                data["syllable"][:, None].astype(np.float32), contour.shape
+            ),
+            contour.astype(np.float32),
+        ],
+        axis=1,
+    )  # (N, 2, n_dyn)
+
+    c, t, out_dim = ecog.shape[1], ecog.shape[2], mels.shape[1]
+
+    class TorchSynthesisLite(nn.Module):
+        """Reference SynthesisLite topology (synthesis_models.py:201-296)."""
+
+        def __init__(self):
+            super().__init__()
+            self.conv = nn.Sequential(
+                nn.Conv1d(c, 32, 5, padding=2), nn.BatchNorm1d(32),
+                nn.LeakyReLU(0.01), nn.MaxPool1d(2),
+                nn.Conv1d(32, 32, 3, padding=1), nn.BatchNorm1d(32),
+                nn.LeakyReLU(0.01), nn.MaxPool1d(2),
+            )
+            self.lstm = nn.LSTM(2, 64, batch_first=True)
+            self.head = nn.Sequential(
+                nn.Dropout(0.3), nn.Linear(32 * (t // 4) + 64, 512),
+                nn.LeakyReLU(0.01), nn.Linear(512, out_dim),
+            )
+
+        def forward(self, e, l):
+            a = self.conv(e).flatten(1)
+            b = self.lstm(l.transpose(1, 2))[0][:, -1]
+            return self.head(torch.cat([a, b], dim=1))
+
+    np_rng = np.random.default_rng(42)
+    seeds = np_rng.integers(0, 10000, len(SEEDS))
+
+    mcds, rs = [], []
+    t_start = time.perf_counter()
+    for seed in seeds:
+        tr, te = split_indices(ecog.shape[0], [0.9, 0.1], seed=int(seed))
+        torch.manual_seed(int(seed))
+        model = TorchSynthesisLite()
+        opt = torch.optim.NAdam(model.parameters(), lr=5e-4, weight_decay=0.004)
+        loss_fn = nn.L1Loss()
+        et = torch.from_numpy(ecog)
+        lt = torch.from_numpy(labels)
+        mt = torch.from_numpy(mels)
+        for _ in range(epochs):
+            perm = np.random.permutation(tr)
+            model.train()
+            for i in range(0, len(tr), 16):
+                idx = perm[i : i + 16]
+                opt.zero_grad()
+                loss = loss_fn(model(et[idx], lt[idx]), mt[idx])
+                loss.backward()
+                opt.step()
+        model.eval()
+        with torch.no_grad():
+            recon = model(et[te], lt[te]).numpy()
+        mcds.append(compute_mcd(mels[te], recon))
+        rs.append(float(np.corrcoef(recon.ravel(), mels[te].ravel())[0, 1]))
+        print(f"torch synth seed {seed}: mcd={mcds[-1]:.1f} r={rs[-1]:.3f}",
+              flush=True)
+    return {
+        "mcd_mean": float(np.mean(mcds)),
+        "mel_pearson_r_mean": float(np.mean(rs)),
+        "wall_s": time.perf_counter() - t_start,
+    }
+
+
 def train_synth_ours(workdir: str, outputs, model: str, epochs: int):
     from decode_tonal_langauge_tpu.training import train_synthesizer
 
@@ -442,6 +551,10 @@ def main():
     if not args.skip_torch_cnn and wanted("torch_cnn"):
         accs, wall = train_torch_cnn(outputs)
         results["torch_cnn"] = {"accuracy_all": accs, "wall_s": wall}
+        save()
+
+    if wanted("torch_synth"):
+        results["torch_synth"] = train_torch_synth(outputs)
         save()
 
     out_path = args.out or os.path.join(
