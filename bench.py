@@ -377,43 +377,51 @@ def bench_training_synthesis(batch: int = 32, channels: int = 40,
     )
     mel = jnp.asarray(rng.standard_normal((batch, n_mel)).astype(np.float32))
 
-    model = SynthesisModelCNN(output_dim=n_mel, n_channels=channels,
-                              n_timepoints=n_timepoints)
-    params = model.init(
-        {"params": jax.random.key(0)}, ecog, labels, train=False
-    )["params"]
-    optimizer = nadam_with_decay_groups(5e-4)
-    opt_state = optimizer.init(params)
+    def measure(dtype):
+        model = SynthesisModelCNN(output_dim=n_mel, n_channels=channels,
+                                  n_timepoints=n_timepoints, dtype=dtype)
+        params = model.init(
+            {"params": jax.random.key(0)}, ecog, labels, train=False
+        )["params"]
+        optimizer = nadam_with_decay_groups(5e-4)
+        opt_state = optimizer.init(params)
 
-    def step(carry, _):
-        params, opt_state, key = carry
-        key, dk = jax.random.split(key)
+        def step(carry, _):
+            params, opt_state, key = carry
+            key, dk = jax.random.split(key)
 
-        def loss_fn(p):
-            out = model.apply(
-                {"params": p}, ecog, labels, train=True, rngs={"dropout": dk}
+            def loss_fn(p):
+                out = model.apply(
+                    {"params": p}, ecog, labels, train=True,
+                    rngs={"dropout": dk},
+                )
+                return jnp.abs(out - mel).mean()  # L1, as the trainer
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state, key), loss
+
+        n_runs = 20
+
+        @jax.jit
+        def run_n(params, opt_state, key):
+            (_, _, _), losses = jax.lax.scan(
+                step, (params, opt_state, key), None, length=n_runs
             )
-            return jnp.abs(out - mel).mean()  # L1, as the synthesis trainer
+            return losses.sum()
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return (optax.apply_updates(params, updates), opt_state, key), loss
+        args = (params, opt_state, jax.random.key(1))
+        per_step = _time_scanned_steps(run_n, args, n_runs)
+        flops = _step_flops(lambda p, o, k: step((p, o, k), None)[0], args)
+        return per_step, flops
 
-    n_runs = 20
-
-    @jax.jit
-    def run_n(params, opt_state, key):
-        (_, _, _), losses = jax.lax.scan(
-            step, (params, opt_state, key), None, length=n_runs
-        )
-        return losses.sum()
-
-    args = (params, opt_state, jax.random.key(1))
-    per_step = _time_scanned_steps(run_n, args, n_runs)
-    flops = _step_flops(lambda p, o, k: step((p, o, k), None)[0], args)
+    per_step, flops = measure(jnp.float32)
+    bf16_step, bf16_flops = measure(jnp.bfloat16)
     return {
         "synthcnn_steps_per_s": 1.0 / per_step,
         "synthcnn_mfu": _mfu(flops, per_step),
+        "synthcnn_bf16_steps_per_s": 1.0 / bf16_step,
+        "synthcnn_bf16_mfu": _mfu(bf16_flops, bf16_step),
     }
 
 
@@ -595,6 +603,10 @@ def main():
                 "cnnrnn_mfu": round(rnn["cnnrnn_mfu"], 4),
                 "synthcnn_steps_per_s": round(synth["synthcnn_steps_per_s"], 2),
                 "synthcnn_mfu": round(synth["synthcnn_mfu"], 4),
+                "synthcnn_bf16_steps_per_s": round(
+                    synth["synthcnn_bf16_steps_per_s"], 2
+                ),
+                "synthcnn_bf16_mfu": round(synth["synthcnn_bf16_mfu"], 4),
                 "mel_frames_per_s": round(audio["mel_frames_per_s"], 1),
                 "mel_vs_numpy_cpu": round(audio["mel_speedup"], 2),
             }

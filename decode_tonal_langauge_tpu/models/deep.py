@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.lstm import TimeBatchedLSTM
 from .base import conv_output_length
 
 
@@ -118,13 +119,13 @@ class CNNRNNClassifier(nn.Module):
                 f"lstm_dim ({self.lstm_dim}) must be divisible "
                 f"by input_length ({self.input_length})."
             )
-        self.lstm1 = nn.RNN(nn.OptimizedLSTMCell(self.lstm_dim, dtype=self.dtype))
+        self.lstm1 = TimeBatchedLSTM(self.lstm_dim, dtype=self.dtype)
         self.conv1 = nn.Conv(1024, kernel_size=(7, 1), padding="VALID", dtype=self.dtype)
         self.conv2 = nn.Conv(1024, kernel_size=(7, 1), padding="VALID", dtype=self.dtype)
         self.conv3a = nn.Conv(512, kernel_size=(7, 1), padding="VALID", dtype=self.dtype)
         self.conv3b = nn.Conv(256, kernel_size=(7, 1), padding="VALID", dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout)
-        self.lstm2 = nn.RNN(nn.OptimizedLSTMCell(512, dtype=self.dtype))
+        self.lstm2 = TimeBatchedLSTM(512, dtype=self.dtype)
         self.head = nn.Dense(self.n_classes, dtype=self.dtype)
 
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:

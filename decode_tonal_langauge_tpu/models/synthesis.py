@@ -10,10 +10,13 @@ paths; kernel/width structure and latent-length arithmetic preserved.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.lstm import TimeBatchedLSTM
 from .base import conv_output_length
 
 
@@ -47,6 +50,11 @@ class SynthesisModelCNN(nn.Module):
     conv_channels: int = 64
     dropout: float = 0.5
     negative_slope: float = 0.01
+    # Compute dtype (params stay f32). The train step is HBM-bound on the
+    # label LSTM's recurrent weights (latent_len*C*lstm_channels wide, read
+    # once per dynamics step), so bfloat16 roughly halves the step time.
+    # Configs select it via model_kwargs: {dtype: bfloat16}.
+    dtype: Any = jnp.float32
 
     def setup(self):
         self.latent_len = synthesis_cnn_latent_length(self.n_timepoints)
@@ -55,19 +63,19 @@ class SynthesisModelCNN(nn.Module):
                 "n_timepoints too small for the SynthesisModelCNN conv stack."
             )
         self.ecog_convs = [
-            nn.Conv(512, kernel_size=(3, 1), padding="VALID"),
-            nn.Conv(512, kernel_size=(3, 1), padding="VALID"),
-            nn.Conv(512, kernel_size=(3, 1), padding="VALID"),
-            nn.Conv(256, kernel_size=(1, 1), padding="VALID"),
-            nn.Conv(self.conv_channels, kernel_size=(1, 1), padding="VALID"),
+            nn.Conv(512, kernel_size=(3, 1), padding="VALID", dtype=self.dtype),
+            nn.Conv(512, kernel_size=(3, 1), padding="VALID", dtype=self.dtype),
+            nn.Conv(512, kernel_size=(3, 1), padding="VALID", dtype=self.dtype),
+            nn.Conv(256, kernel_size=(1, 1), padding="VALID", dtype=self.dtype),
+            nn.Conv(self.conv_channels, kernel_size=(1, 1), padding="VALID", dtype=self.dtype),
         ]
         self.ecog_dropout = nn.Dropout(self.dropout)
         lstm_size = self.latent_len * self.n_channels * self.lstm_channels
-        self.label_lstm = nn.RNN(nn.OptimizedLSTMCell(lstm_size))
+        self.label_lstm = TimeBatchedLSTM(lstm_size, dtype=self.dtype)
         self.concat_convs = [
-            nn.Conv(128, kernel_size=(1, 1)) for _ in range(4)
-        ] + [nn.Conv(self.conv_channels, kernel_size=(1, 1))]
-        self.output_layer = nn.Dense(self.output_dim)
+            nn.Conv(128, kernel_size=(1, 1), dtype=self.dtype) for _ in range(4)
+        ] + [nn.Conv(self.conv_channels, kernel_size=(1, 1), dtype=self.dtype)]
+        self.output_layer = nn.Dense(self.output_dim, dtype=self.dtype)
 
     def __call__(
         self, inputs_ecog: jax.Array, inputs_labels: jax.Array, train: bool = False
@@ -75,7 +83,7 @@ class SynthesisModelCNN(nn.Module):
         b = inputs_ecog.shape[0]
 
         # (B, C, T) -> (B, T, C, 1)
-        x = jnp.transpose(inputs_ecog, (0, 2, 1))[..., None]
+        x = jnp.transpose(inputs_ecog, (0, 2, 1))[..., None].astype(self.dtype)
         for i, conv in enumerate(self.ecog_convs):
             x = conv(x)
             x = nn.leaky_relu(x, negative_slope=self.negative_slope)
@@ -85,7 +93,7 @@ class SynthesisModelCNN(nn.Module):
         # (B, latent_len, n_channels, conv_channels)
 
         # Labels: (B, 2, n_dynamics) -> (B, n_dynamics, 2) -> LSTM last state
-        x2 = jnp.transpose(inputs_labels, (0, 2, 1))
+        x2 = jnp.transpose(inputs_labels, (0, 2, 1)).astype(self.dtype)
         x2 = self.label_lstm(x2)[:, -1, :]
         x2 = x2.reshape((b, self.latent_len, self.n_channels, self.lstm_channels))
 
@@ -94,7 +102,7 @@ class SynthesisModelCNN(nn.Module):
             y = conv(y)
             y = nn.leaky_relu(y, negative_slope=0.1)
 
-        return self.output_layer(y.reshape((b, -1)))
+        return self.output_layer(y.reshape((b, -1))).astype(jnp.float32)
 
 
 class SynthesisLite(nn.Module):
@@ -113,22 +121,23 @@ class SynthesisLite(nn.Module):
     lstm_hidden: int = 64
     dropout: float = 0.3
     negative_slope: float = 0.01
+    dtype: Any = jnp.float32
 
     def setup(self):
-        self.conv1 = nn.Conv(self.conv_channels, kernel_size=(5,), padding=2)
-        self.bn1 = nn.BatchNorm()
-        self.conv2 = nn.Conv(self.conv_channels, kernel_size=(3,), padding=1)
-        self.bn2 = nn.BatchNorm()
-        self.label_lstm = nn.RNN(nn.OptimizedLSTMCell(self.lstm_hidden))
+        self.conv1 = nn.Conv(self.conv_channels, kernel_size=(5,), padding=2, dtype=self.dtype)
+        self.bn1 = nn.BatchNorm(dtype=self.dtype)
+        self.conv2 = nn.Conv(self.conv_channels, kernel_size=(3,), padding=1, dtype=self.dtype)
+        self.bn2 = nn.BatchNorm(dtype=self.dtype)
+        self.label_lstm = TimeBatchedLSTM(self.lstm_hidden, dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout)
-        self.fc1 = nn.Dense(512)
-        self.fc2 = nn.Dense(self.output_dim)
+        self.fc1 = nn.Dense(512, dtype=self.dtype)
+        self.fc2 = nn.Dense(self.output_dim, dtype=self.dtype)
 
     def __call__(
         self, x_ecog: jax.Array, x_label: jax.Array, train: bool = False
     ) -> jax.Array:
         # (B, C, T) -> (B, T, C)
-        x = jnp.transpose(x_ecog, (0, 2, 1))
+        x = jnp.transpose(x_ecog, (0, 2, 1)).astype(self.dtype)
         x = self.conv1(x)
         x = self.bn1(x, use_running_average=not train)
         x = nn.leaky_relu(x, negative_slope=self.negative_slope)
@@ -139,10 +148,10 @@ class SynthesisLite(nn.Module):
         x = nn.max_pool(x, window_shape=(2,), strides=(2,))
         x = x.reshape((x.shape[0], -1))  # (B, (T//4) * conv_channels)
 
-        lbl = jnp.transpose(x_label, (0, 2, 1))  # (B, L, 2)
+        lbl = jnp.transpose(x_label, (0, 2, 1)).astype(self.dtype)  # (B, L, 2)
         lbl = self.label_lstm(lbl)[:, -1, :]
 
         y = jnp.concatenate([x, lbl], axis=-1)
         y = self.drop(y, deterministic=not train)
         y = nn.leaky_relu(self.fc1(y), negative_slope=self.negative_slope)
-        return self.fc2(y)
+        return self.fc2(y).astype(jnp.float32)
