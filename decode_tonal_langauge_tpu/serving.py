@@ -1,0 +1,393 @@
+"""End-to-end inference: trained artifacts -> decoded labels + speech.
+
+The reference stops at training scripts — its only "inference" is the
+evaluation block inside ``/root/reference/train_synthesizer.py:363-445``,
+which cannot run without re-training. This module is the production
+serving path the reference lacks: load the pipeline's trained artifacts
+(classifier checkpoints from ``train_classifier`` with
+``save_checkpoints``, a synthesizer checkpoint from ``train_synthesizer
+--checkpoint_dir``, the channel-selection JSON, and the dataset config
+JSON) and decode new ECoG epochs in one jitted dispatch per batch:
+
+    epochs (B, C, T)
+      -> tone + syllable classifier probabilities        (frozen params)
+      -> predicted label dynamics (dense-table gather, on device)
+      -> synthesizer mel spectrograms
+      -> Griffin-Lim waveforms (jitted NNLS + momentum GL)
+
+Everything up to the waveform is ONE ``jax.jit`` function; the full
+trial->speech path is TPU-resident with a single host readback for the
+results. CLI:
+
+    python -m decode_tonal_langauge_tpu.serving \
+        --sample_path samples.npz --channel_file channels.json \
+        --config_file config.json \
+        --tone_model_name CNNRNN --tone_model_path ckpt/tone \
+        --syllable_model_name CNN --syllable_model_path ckpt/syll \
+        --synthesis_model_name SynthesisLite --synthesis_model_path ckpt/syn \
+        --output_dir decoded/ [--n_wavs 4] [--benchmark]
+
+Writes ``predictions.csv`` (per-trial predicted/true labels), ``mels.npz``
+(predicted mel spectrograms), and the first N reconstructed WAVs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.utils import (
+    select_non_discriminative_channels,
+    tone_dynamics_table,
+)
+
+
+class TonalDecoder:
+    """Frozen-model decoder: ECoG epochs -> labels (+ mels, + audio).
+
+    Mirrors the frozen-classifier + dynamics-gather design of
+    ``training/synthesis_trainer.py`` (itself replacing the reference's
+    per-batch host round trip, ``/root/reference/models/
+    synthesis_trainer.py:150-171``), but with ALL models frozen.
+    """
+
+    def __init__(
+        self,
+        tone_model,
+        tone_variables,
+        syllable_model,
+        syllable_variables,
+        tone_dynamic_mapping: Dict[str, Any],
+        synthesis_model=None,
+        synthesis_variables=None,
+        tone_scaler=None,
+        syllable_scaler=None,
+    ) -> None:
+        self.tone_model = tone_model
+        self.tone_variables = tone_variables
+        self.syllable_model = syllable_model
+        self.syllable_variables = syllable_variables
+        self.synthesis_model = synthesis_model
+        self.synthesis_variables = synthesis_variables
+        # (mu, sd) train-split standardisation the classifiers were
+        # trained under (checkpointed by the training stage when
+        # standardize: true) — must be reproduced at inference.
+        self.tone_scaler = tone_scaler
+        self.syllable_scaler = syllable_scaler
+        table, self.n_dynamics = tone_dynamics_table(tone_dynamic_mapping)
+        self.dynamics_table = jnp.asarray(table, dtype=jnp.float32)
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=(0,))
+    def _decode_jit(self, x_tone, x_syll, ecog_non):
+        if self.tone_scaler is not None:
+            mu, sd = self.tone_scaler
+            x_tone = (x_tone - mu) / sd
+        if self.syllable_scaler is not None:
+            mu, sd = self.syllable_scaler
+            x_syll = (x_syll - mu) / sd
+        tone_probs = self.tone_model.apply(
+            self.tone_variables, x_tone, train=False
+        )
+        syll_probs = self.syllable_model.apply(
+            self.syllable_variables, x_syll, train=False
+        )
+        tones = jnp.argmax(tone_probs, axis=1)
+        sylls = jnp.argmax(syll_probs, axis=1)
+
+        mel = None
+        if self.synthesis_model is not None:
+            contour = self.dynamics_table[tones]  # (B, n_dynamics)
+            syll_seq = jnp.broadcast_to(
+                sylls[:, None].astype(jnp.float32), contour.shape
+            )
+            dynamics = jnp.stack([syll_seq, contour], axis=1)
+            mel = self.synthesis_model.apply(
+                self.synthesis_variables, ecog_non, dynamics, train=False
+            )
+        return tones, sylls, tone_probs, syll_probs, mel
+
+    def decode(
+        self,
+        ecog_samples: np.ndarray,
+        channel_selections: Dict[str, Any],
+    ) -> Dict[str, np.ndarray]:
+        """Decode epochs (B, C_total, T): returns predicted tone and
+        syllable ids, class probabilities, and (with a synthesizer) the
+        predicted flattened mel spectrograms."""
+        x_tone = jnp.asarray(
+            ecog_samples[:, channel_selections["tone_discriminative"], :],
+            dtype=jnp.float32,
+        )
+        x_syll = jnp.asarray(
+            ecog_samples[:, channel_selections["syllable_discriminative"], :],
+            dtype=jnp.float32,
+        )
+        non = select_non_discriminative_channels(
+            channel_selections,
+            ["tone_discriminative", "syllable_discriminative"],
+        )
+        ecog_non = jnp.asarray(
+            ecog_samples[:, non, :], dtype=jnp.float32
+        )
+        tones, sylls, tone_probs, syll_probs, mel = self._decode_jit(
+            x_tone, x_syll, ecog_non
+        )
+        out = {
+            "tone": np.asarray(tones),
+            "syllable": np.asarray(sylls),
+            "tone_probs": np.asarray(tone_probs),
+            "syllable_probs": np.asarray(syll_probs),
+        }
+        if mel is not None:
+            out["mel"] = np.asarray(mel)
+        return out
+
+    def synthesize_wavs(
+        self,
+        mels_flat: np.ndarray,
+        sr: int,
+        mel_kwargs: Dict[str, Any],
+        n: Optional[int] = None,
+    ):
+        """Griffin-Lim waveforms from flattened predicted mels."""
+        from .utils.audio import mel_to_audio
+
+        n = mels_flat.shape[0] if n is None else min(n, mels_flat.shape[0])
+        return [
+            mel_to_audio(
+                mels_flat[i],
+                n_mels=mel_kwargs.get("n_mels", 128),
+                audio_sampling_rate=sr,
+                n_fft=mel_kwargs.get("n_fft", 2048),
+                hop_length=mel_kwargs.get("hop_length", 512),
+            )
+            for i in range(n)
+        ]
+
+
+# ----------------------------------------------------------------------
+def _build_classifier(name, n_classes, n_channels, n_timepoints):
+    from .training.train_synthesizer import build_classifier
+
+    return build_classifier(name, n_classes, n_channels, n_timepoints)
+
+
+def load_decoder(
+    channel_selections: Dict[str, Any],
+    dataset_config: Dict[str, Any],
+    n_timepoints: int,
+    tone_model_name: str,
+    tone_model_path: str,
+    syllable_model_name: str,
+    syllable_model_path: str,
+    synthesis_model_name: Optional[str] = None,
+    synthesis_model_path: Optional[str] = None,
+    mel_dim: Optional[int] = None,
+) -> TonalDecoder:
+    """Rebuild the frozen models from checkpoints and wire a decoder."""
+    from .runtime.checkpoint import load_params
+    from .training.train_synthesizer import build_synthesis_model
+
+    n_tone_ch = len(channel_selections["tone_discriminative"])
+    n_syll_ch = len(channel_selections["syllable_discriminative"])
+    tone_model = _build_classifier(
+        tone_model_name, dataset_config["n_tones"], n_tone_ch, n_timepoints
+    )
+    syll_model = _build_classifier(
+        syllable_model_name, dataset_config["n_syllables"], n_syll_ch,
+        n_timepoints,
+    )
+    def _load_with_scaler(path):
+        restored = dict(load_params(path))
+        scaler = restored.pop("scaler", None)
+        if scaler is not None:
+            scaler = (
+                jnp.asarray(scaler["mu"], dtype=jnp.float32),
+                jnp.asarray(scaler["sd"], dtype=jnp.float32),
+            )
+        return restored, scaler
+
+    tone_variables, tone_scaler = _load_with_scaler(tone_model_path)
+    syllable_variables, syllable_scaler = _load_with_scaler(
+        syllable_model_path
+    )
+
+    synthesis_model = synthesis_variables = None
+    if synthesis_model_name and synthesis_model_path:
+        non = select_non_discriminative_channels(
+            channel_selections,
+            ["tone_discriminative", "syllable_discriminative"],
+        )
+        if mel_dim is None:
+            raise ValueError(
+                "mel_dim is required when loading a synthesizer."
+            )
+        synthesis_model = build_synthesis_model(
+            synthesis_model_name, mel_dim, len(non), n_timepoints
+        )
+        synthesis_variables = load_params(synthesis_model_path)
+
+    return TonalDecoder(
+        tone_model,
+        tone_variables,
+        syll_model,
+        syllable_variables,
+        dataset_config["tone_dynamic_mapping"],
+        synthesis_model=synthesis_model,
+        synthesis_variables=synthesis_variables,
+        tone_scaler=tone_scaler,
+        syllable_scaler=syllable_scaler,
+    )
+
+
+# ----------------------------------------------------------------------
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Decode ECoG epochs with trained models (serving path)."
+    )
+    p.add_argument("--sample_path", type=str, required=True)
+    p.add_argument("--channel_file", type=str, required=True)
+    p.add_argument("--config_file", type=str, required=True)
+    p.add_argument("--tone_model_name", type=str, required=True)
+    p.add_argument("--tone_model_path", type=str, required=True)
+    p.add_argument("--syllable_model_name", type=str, required=True)
+    p.add_argument("--syllable_model_path", type=str, required=True)
+    p.add_argument("--synthesis_model_name", type=str, default=None)
+    p.add_argument("--synthesis_model_path", type=str, default=None)
+    p.add_argument("--audio_sampling_rate", type=int, default=24414)
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--n_wavs", type=int, default=4)
+    p.add_argument(
+        "--benchmark", action="store_true",
+        help="Also report single-trial end-to-end decode latency.",
+    )
+    return p
+
+
+def run(params: argparse.Namespace) -> Dict[str, Any]:
+    from .utils.audio import audio_to_mel, write_wav
+
+    with open(params.channel_file) as f:
+        channel_selections = json.load(f)
+    with open(params.config_file) as f:
+        dataset_config = json.load(f)
+
+    dataset = np.load(params.sample_path)
+    ecog = dataset["ecog"]
+    n_timepoints = ecog.shape[2]
+
+    mel_kwargs = dict(dataset_config["mel_kwargs"])
+    mel_dim = None
+    if params.synthesis_model_name:
+        # The synthesizer's output dim comes from the training mels
+        # (audio_to_mel returns the flattened n_mels * n_frames vector).
+        probe = audio_to_mel(
+            dataset["audio"][0], params.audio_sampling_rate,
+            mel_kwargs=mel_kwargs,
+        )
+        mel_dim = int(probe.size)
+
+    decoder = load_decoder(
+        channel_selections,
+        dataset_config,
+        n_timepoints,
+        params.tone_model_name,
+        params.tone_model_path,
+        params.syllable_model_name,
+        params.syllable_model_path,
+        synthesis_model_name=params.synthesis_model_name,
+        synthesis_model_path=params.synthesis_model_path,
+        mel_dim=mel_dim,
+    )
+
+    out = decoder.decode(ecog, channel_selections)
+
+    os.makedirs(params.output_dir, exist_ok=True)
+    summary: Dict[str, Any] = {"n_trials": int(ecog.shape[0])}
+
+    # predictions.csv with true labels when the npz carries them.
+    rows = []
+    has_true = "tone" in dataset and "syllable" in dataset
+    for i in range(ecog.shape[0]):
+        row = {
+            "trial": i,
+            "tone_pred": int(out["tone"][i]),
+            "syllable_pred": int(out["syllable"][i]),
+        }
+        if has_true:
+            row["tone_true"] = int(dataset["tone"][i])
+            row["syllable_true"] = int(dataset["syllable"][i])
+        rows.append(row)
+    csv_path = os.path.join(params.output_dir, "predictions.csv")
+    with open(csv_path, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        writer.writeheader()
+        writer.writerows(rows)
+    if has_true:
+        summary["tone_accuracy"] = float(
+            np.mean(out["tone"] == dataset["tone"])
+        )
+        summary["syllable_accuracy"] = float(
+            np.mean(out["syllable"] == dataset["syllable"])
+        )
+
+    if "mel" in out:
+        np.savez(
+            os.path.join(params.output_dir, "mels.npz"),
+            mel=out["mel"],
+            n_mels=np.asarray(mel_kwargs.get("n_mels", 128)),
+        )
+        waves = decoder.synthesize_wavs(
+            out["mel"], params.audio_sampling_rate, mel_kwargs,
+            n=params.n_wavs,
+        )
+        for i, wave in enumerate(waves):
+            write_wav(
+                os.path.join(params.output_dir, f"decoded_{i}.wav"),
+                np.asarray(wave),
+                params.audio_sampling_rate,
+            )
+        summary["n_wavs"] = len(waves)
+
+    if params.benchmark:
+        summary["trial_latency_s"] = _measure_latency(
+            decoder, ecog, channel_selections
+        )
+
+    with open(os.path.join(params.output_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return summary
+
+
+def _measure_latency(decoder, ecog, channel_selections, n_runs: int = 20):
+    """Single-trial end-to-end decode latency (epochs -> labels [+ mel]),
+    median over n_runs; a scalar readback fences each run (the tunneled
+    backend's block_until_ready returns early)."""
+    one = ecog[:1]
+    decoder.decode(one, channel_selections)  # compile
+    times = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        out = decoder.decode(one, channel_selections)
+        float(out["mel"][0, 0] if "mel" in out else out["tone_probs"][0, 0])
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def main(argv=None) -> None:
+    run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -66,6 +66,7 @@ def _fit_and_eval(
         [params.train_ratio, params.vali_ratio, params.test_ratio],
         seed=seed,
     )
+    scaler = None
     if getattr(params, "standardize", False):
         # Optional per-feature standardisation fit on the train split.
         # (No reference counterpart; stabilises adaptive optimizers on
@@ -73,6 +74,7 @@ def _fit_and_eval(
         mu = features[tr_idx].mean(axis=0, keepdims=True)
         sd = features[tr_idx].std(axis=0, keepdims=True) + 1e-6
         features = (features - mu) / sd
+        scaler = (mu, sd)
     model = get_classifier_by_name(
         params.model,
         n_classes=n_classes,
@@ -86,11 +88,12 @@ def _fit_and_eval(
     )
     trainer.test(features[te_idx], labels[te_idx])
     preds = trainer.predict(features[te_idx])
-    return labels[te_idx], preds, trainer
+    return labels[te_idx], preds, trainer, scaler
 
 
 def _maybe_save_checkpoint(
-    params: Namespace, variables: dict, target_str: str, seed: int
+    params: Namespace, variables: dict, target_str: str, seed: int,
+    scaler=None,
 ) -> None:
     if not getattr(params, "save_checkpoints", False):
         return
@@ -98,11 +101,19 @@ def _maybe_save_checkpoint(
 
     model_dir = os.path.join(params.log_dir, "model_checkpoints")
     os.makedirs(model_dir, exist_ok=True)
+    tree = dict(variables)
+    if scaler is not None:
+        # Inference must reproduce the train-split feature scaling
+        # (standardize: true); loaders that feed pre-scaled features
+        # pop this key (train_synthesizer, serving.load_decoder).
+        tree["scaler"] = {
+            "mu": np.asarray(scaler[0]), "sd": np.asarray(scaler[1])
+        }
     save_params(
         os.path.join(
             model_dir, f"{target_str}_{params.model_name}_seed_{seed}"
         ),
-        variables,
+        tree,
     )
 
 
@@ -130,7 +141,7 @@ def _fit_eval_all_seeds(
     if not (getattr(params, "seed_parallel", True) and len(seeds) > 1):
         out: List[SeedFitResult] = []
         for seed in seeds:
-            true, preds, trainer = _fit_and_eval(
+            true, preds, trainer, scaler = _fit_and_eval(
                 params, features, labels, n_classes, seed, log_dir_fn(seed)
             )
             out.append(
@@ -144,6 +155,7 @@ def _fit_eval_all_seeds(
                     n_params=trainer.n_params(),
                     params=trainer.params,
                     batch_stats=trainer.batch_stats,
+                    scaler=scaler,
                 )
             )
         return out
@@ -151,13 +163,17 @@ def _fit_eval_all_seeds(
     # --- seed-parallel path: per-seed split gathers stacked on axis 0 ---
     ratios = [params.train_ratio, params.vali_ratio, params.test_ratio]
     tr_x, tr_y, va_x, va_y, te_x, te_y = ([] for _ in range(6))
+    scalers = []
     for seed in seeds:
         tr_idx, va_idx, te_idx = split_indices(features.shape[0], ratios, seed=seed)
         feats = features
+        scaler = None
         if getattr(params, "standardize", False):
             mu = feats[tr_idx].mean(axis=0, keepdims=True)
             sd = feats[tr_idx].std(axis=0, keepdims=True) + 1e-6
             feats = (feats - mu) / sd
+            scaler = (mu, sd)
+        scalers.append(scaler)
         tr_x.append(feats[tr_idx]); tr_y.append(labels[tr_idx])
         va_x.append(feats[va_idx]); va_y.append(labels[va_idx])
         te_x.append(feats[te_idx]); te_y.append(labels[te_idx])
@@ -186,7 +202,8 @@ def _fit_eval_all_seeds(
         np.stack(va_x), np.stack(va_y),
         np.stack(te_x), np.stack(te_y),
     )
-    for res in results:
+    for res, scaler in zip(results, scalers):
+        res.scaler = scaler
         spt.write_logs(res, log_dir_fn(res.seed))
     return results
 
@@ -281,6 +298,7 @@ def train_separate_targets(
                 {"params": res.params, "batch_stats": res.batch_stats},
                 target,
                 int(seed),
+                scaler=res.scaler,
             )
 
             target_metrics = compute_classification_metrics(
@@ -378,6 +396,7 @@ def train_joint_targets(
             {"params": res.params, "batch_stats": res.batch_stats},
             target_name,
             int(seed),
+            scaler=res.scaler,
         )
 
         joint_metrics = compute_classification_metrics(

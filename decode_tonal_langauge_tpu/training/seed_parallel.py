@@ -83,6 +83,10 @@ class SeedFitResult:
     n_params: int
     params: Any = field(repr=False, default=None)
     batch_stats: Any = field(repr=False, default=None)
+    # (mu, sd) of the per-seed train-split standardisation, when
+    # params.standardize is on — checkpointed so inference can reproduce
+    # the feature scaling the classifier was trained under.
+    scaler: Any = field(repr=False, default=None)
 
 
 class SeedParallelTrainer:

@@ -65,12 +65,20 @@ class SynthesisTrainer:
         seed: int = 0,
         verbose: bool = True,
         mesh=None,
+        tone_scaler=None,
+        syllable_scaler=None,
     ) -> None:
         self.model = synthesis_model
         self.tone_model = tone_model
         self.tone_variables = tone_variables
         self.syllable_model = syllable_model
         self.syllable_variables = syllable_variables
+        # Optional (mu, sd) the frozen classifiers were trained under
+        # (standardize: true checkpoints) — applied to their inputs in
+        # _predict_labels so the frozen predictions match training-time
+        # accuracy.
+        self.tone_scaler = tone_scaler
+        self.syllable_scaler = syllable_scaler
         self.seed = seed
         self.verbose = verbose
 
@@ -105,8 +113,11 @@ class SynthesisTrainer:
         # hold identical values, so a cache hit is semantically safe).
         self._frozen_ids = (
             id(tone_variables), id(syllable_variables), id(self.dynamics_table),
+            id(tone_scaler), id(syllable_scaler),
         )
-        self._frozen_refs = (tone_variables, syllable_variables)  # keep alive
+        self._frozen_refs = (
+            tone_variables, syllable_variables, tone_scaler, syllable_scaler,
+        )  # keep alive
         self.params = None
         self.batch_stats: dict = {}
         self._has_bn = False
@@ -150,6 +161,10 @@ class SynthesisTrainer:
             self.opt_state = put(self.opt_state)
             self.tone_variables = put(self.tone_variables)
             self.syllable_variables = put(self.syllable_variables)
+            if self.tone_scaler is not None:
+                self.tone_scaler = put(self.tone_scaler)
+            if self.syllable_scaler is not None:
+                self.syllable_scaler = put(self.syllable_scaler)
 
     def n_params(self) -> int:
         return int(
@@ -159,6 +174,12 @@ class SynthesisTrainer:
     # ------------------------------------------------------------------
     def _predict_labels(self, x_tone, x_syll):
         """Frozen classifier predictions -> on-device label dynamics."""
+        if self.tone_scaler is not None:
+            x_tone = (x_tone - self.tone_scaler[0]) / self.tone_scaler[1]
+        if self.syllable_scaler is not None:
+            x_syll = (
+                x_syll - self.syllable_scaler[0]
+            ) / self.syllable_scaler[1]
         tone_out = self.tone_model.apply(self.tone_variables, x_tone, train=False)
         syll_out = self.syllable_model.apply(
             self.syllable_variables, x_syll, train=False
@@ -505,7 +526,11 @@ def seed_parallel_fit_eval(
     mcds_test = np.asarray(mcds_test)
     outs = np.asarray(outs)
 
-    # Expose per-seed n_params via the proto (equal across seeds).
+    # Expose per-seed n_params via the proto (equal across seeds), and
+    # the full stacked trees so callers can checkpoint every seed's
+    # trained synthesizer (train_synthesizer --save_checkpoints).
+    proto.stacked_params = params
+    proto.stacked_batch_stats = batch_stats
     proto.params = jax.tree_util.tree_map(lambda leaf: leaf[0], params)
     proto.batch_stats = jax.tree_util.tree_map(
         lambda leaf: leaf[0], batch_stats

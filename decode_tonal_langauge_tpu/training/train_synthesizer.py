@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--audio_dir", type=str, default=None)
     parser.add_argument("--channel_file", type=str, default="channel_selections.json")
     parser.add_argument("--config_file", type=str, default="config.json")
+    parser.add_argument(
+        "--checkpoint_dir", type=str, default=None,
+        help="Save each seed's trained synthesizer (Orbax) here; the "
+             "serving module (decode_tonal_langauge_tpu.serving) loads "
+             "these for end-to-end inference.",
+    )
     parser.add_argument("--model_name", type=str, required=True)
     parser.add_argument("--syllable_model_path", type=str, default=None)
     parser.add_argument("--tone_model_path", type=str, default=None)
@@ -150,17 +156,28 @@ def build_synthesis_model(
 
 
 def _init_classifier_variables(model, sample: np.ndarray, path: Optional[str], seed=0):
+    """Returns (variables, scaler): checkpoints saved by the training
+    stage under ``standardize: true`` carry the train-split (mu, sd) the
+    classifier expects its inputs scaled by."""
     import jax
+    import jax.numpy as jnp
 
     variables = model.init(
         {"params": jax.random.key(seed)}, np.asarray(sample[:1]), train=False
     )
+    scaler = None
     if path:
         from ..runtime.checkpoint import load_params
 
-        restored = load_params(path)
+        restored = dict(load_params(path))
+        raw_scaler = restored.pop("scaler", None)
+        if raw_scaler is not None:
+            scaler = (
+                jnp.asarray(raw_scaler["mu"], dtype=jnp.float32),
+                jnp.asarray(raw_scaler["sd"], dtype=jnp.float32),
+            )
         variables = {**variables, **restored}
-    return variables
+    return variables, scaler
 
 
 def run(params: argparse.Namespace) -> dict:
@@ -221,10 +238,10 @@ def run(params: argparse.Namespace) -> dict:
     tone_model = build_classifier(
         params.tone_model_name, n_tones, ecog_tones.shape[1], n_timepoints
     )
-    syllable_variables = _init_classifier_variables(
+    syllable_variables, syllable_scaler = _init_classifier_variables(
         syllable_model, ecog_syllables, params.syllable_model_path
     )
-    tone_variables = _init_classifier_variables(
+    tone_variables, tone_scaler = _init_classifier_variables(
         tone_model, ecog_tones, params.tone_model_path
     )
 
@@ -269,6 +286,8 @@ def run(params: argparse.Namespace) -> dict:
             syllable_model,
             syllable_variables,
             tone_dynamic_mapping,
+            tone_scaler=tone_scaler,
+            syllable_scaler=syllable_scaler,
             learning_rate=params.lr,
             beta_1=getattr(params, "beta_1", 0.9),
             beta_2=getattr(params, "beta_2", 0.999),
@@ -293,6 +312,23 @@ def run(params: argparse.Namespace) -> dict:
         and len(seeds) > 1
         and mesh is None
     )
+    def _save_checkpoint(seed, model_params, model_batch_stats):
+        if not getattr(params, "checkpoint_dir", None):
+            return
+        from ..runtime.checkpoint import save_params
+
+        os.makedirs(params.checkpoint_dir, exist_ok=True)
+        tree = {"params": model_params}
+        if model_batch_stats:
+            tree["batch_stats"] = model_batch_stats
+        save_params(
+            os.path.join(
+                params.checkpoint_dir,
+                f"{params.synthesis_model_name}_seed_{int(seed)}",
+            ),
+            tree,
+        )
+
     if seed_parallel:
         trainer = make_trainer(int(seeds[0]))
         train_stacks = tuple(
@@ -305,6 +341,19 @@ def run(params: argparse.Namespace) -> dict:
             trainer, [int(s) for s in seeds], train_stacks, test_stacks,
             epochs=params.epochs, batch_size=params.batch_size,
         )
+        if getattr(params, "checkpoint_dir", None):
+            import jax as _jax
+
+            for i, seed in enumerate(seeds):
+                _save_checkpoint(
+                    seed,
+                    _jax.tree_util.tree_map(
+                        lambda leaf: leaf[i], trainer.stacked_params
+                    ),
+                    _jax.tree_util.tree_map(
+                        lambda leaf: leaf[i], trainer.stacked_batch_stats
+                    ),
+                )
     else:
         per_seed = []
         for seed, idx_splits in zip(seeds, splits):
@@ -321,6 +370,7 @@ def run(params: argparse.Namespace) -> dict:
                 batch_size=params.batch_size,
             )
             per_seed.append((history, mcd, recon_mels, origin_mels))
+            _save_checkpoint(seed, trainer.params, trainer.batch_stats)
 
     mcds = []
     pearson_rs = []

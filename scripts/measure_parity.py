@@ -35,7 +35,7 @@ EPOCHS = 30
 
 
 # ---------------------------------------------------------------------------
-def build_subject(workdir: str):
+def build_subject(workdir: str, noise_scale: float = 1.0):
     from decode_tonal_langauge_tpu.data.synthetic import (
         SyntheticSpec,
         write_subject,
@@ -50,6 +50,7 @@ def build_subject(workdir: str):
         active_channels=tuple(range(16)),
         tone_channels=(0, 1, 2, 3, 4, 5),
         syllable_channels=(6, 7, 8, 9, 10, 11),
+        noise_scale=noise_scale,
     )
     write_subject(os.path.join(workdir, "raw"), 1, spec)
     return spec
@@ -493,6 +494,9 @@ def main():
     ap.add_argument("--only", default=None,
                     help="comma list: pipeline,cnn,cnnrnn,synth,torch_cnn")
     ap.add_argument("--out", default=None, help="output JSON path")
+    ap.add_argument("--noise-scale", type=float, default=1.0,
+                    help="synthetic-subject noise amplitude; >1 makes the "
+                         "decode task non-saturated (use a fresh --workdir)")
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
 
@@ -511,8 +515,9 @@ def main():
         return (only is None or key in only) and key not in results
 
     if "outputs" not in results:
-        build_subject(args.workdir)
+        build_subject(args.workdir, noise_scale=args.noise_scale)
         results["outputs"] = run_pipeline_stages(args.workdir)
+        results["noise_scale"] = args.noise_scale
         save()
     outputs = results["outputs"]
 

@@ -1,0 +1,333 @@
+"""Serving-path tests: checkpoints -> TonalDecoder -> labels + mels + wavs.
+
+Covers the end-to-end inference module (``serving.py``), which the
+reference lacks entirely (its evaluation only exists inside
+``/root/reference/train_synthesizer.py:363-445``).
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from decode_tonal_langauge_tpu.runtime.checkpoint import save_params
+from decode_tonal_langauge_tpu.serving import (
+    TonalDecoder,
+    build_parser,
+    load_decoder,
+    run,
+)
+from decode_tonal_langauge_tpu.training.train_synthesizer import (
+    build_classifier,
+    build_synthesis_model,
+)
+from decode_tonal_langauge_tpu.utils.audio import audio_to_mel
+
+N_TRIALS, N_CH, T = 10, 6, 24
+N_TONES, N_SYLLS = 3, 2
+CHANNELS = {
+    "active_channels": [0, 1, 2, 3, 4, 5],
+    "tone_discriminative": [0, 1],
+    "syllable_discriminative": [2, 3],
+}
+MAPPING = {"0": [0.1, 0.2, 0.3], "1": [0.4, 0.5, 0.6], "2": [0.7, 0.8, 0.9]}
+MEL_KWARGS = {"n_mels": 8, "n_fft": 64, "hop_length": 32}
+SR = 800
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serving")
+    rng = np.random.default_rng(0)
+
+    ecog = rng.standard_normal((N_TRIALS, N_CH, T)).astype(np.float32)
+    audio = rng.standard_normal((N_TRIALS, SR // 2)).astype(np.float32)
+    tones = rng.integers(0, N_TONES, N_TRIALS)
+    sylls = rng.integers(0, N_SYLLS, N_TRIALS)
+    sample_path = os.path.join(root, "samples.npz")
+    np.savez(sample_path, ecog=ecog, audio=audio, tone=tones, syllable=sylls)
+
+    channel_file = os.path.join(root, "channels.json")
+    with open(channel_file, "w") as f:
+        json.dump(CHANNELS, f)
+    config_file = os.path.join(root, "config.json")
+    with open(config_file, "w") as f:
+        json.dump(
+            {
+                "tone_dynamic_mapping": MAPPING,
+                "n_tones": N_TONES,
+                "n_syllables": N_SYLLS,
+                "mel_kwargs": MEL_KWARGS,
+            },
+            f,
+        )
+
+    # Random-initialised (untrained) models, checkpointed.
+    def ckpt(model, path, example):
+        variables = model.init(
+            {"params": jax.random.key(0)}, example, train=False
+        )
+        save_params(os.path.join(root, path), variables)
+        return variables
+
+    tone_model = build_classifier("logistic", N_TONES, 2, T)
+    tone_vars = ckpt(tone_model, "tone_ckpt", ecog[:, :2, :])
+    syll_model = build_classifier("ShallowNN", N_SYLLS, 2, T)
+    syll_vars = ckpt(syll_model, "syll_ckpt", ecog[:, 2:4, :])
+
+    mel = audio_to_mel(audio[0], SR, mel_kwargs=MEL_KWARGS)
+    mel_dim = int(np.prod(mel.shape))
+    synth_model = build_synthesis_model("SynthesisLite", mel_dim, 2, T)
+    labels0 = np.zeros((1, 2, 3), dtype=np.float32)
+    synth_vars = synth_model.init(
+        {"params": jax.random.key(1)}, ecog[:1, 4:6, :], labels0, train=False
+    )
+    save_params(os.path.join(root, "synth_ckpt"), synth_vars)
+
+    return {
+        "root": str(root),
+        "sample_path": sample_path,
+        "channel_file": channel_file,
+        "config_file": config_file,
+        "ecog": ecog,
+        "tones": tones,
+        "sylls": sylls,
+        "models": (tone_model, tone_vars, syll_model, syll_vars,
+                   synth_model, synth_vars),
+        "mel_dim": mel_dim,
+        "mel_shape": mel.shape,
+    }
+
+
+def test_decoder_matches_direct_apply(artifacts):
+    tone_model, tone_vars, syll_model, syll_vars, synth_model, synth_vars = (
+        artifacts["models"]
+    )
+    dec = TonalDecoder(
+        tone_model, tone_vars, syll_model, syll_vars, MAPPING,
+        synthesis_model=synth_model, synthesis_variables=synth_vars,
+    )
+    out = dec.decode(artifacts["ecog"], CHANNELS)
+
+    ref_tone = np.argmax(
+        tone_model.apply(tone_vars, artifacts["ecog"][:, :2, :], train=False),
+        axis=1,
+    )
+    np.testing.assert_array_equal(out["tone"], ref_tone)
+    assert out["mel"].shape == (N_TRIALS, artifacts["mel_dim"])
+
+    # Mels must match feeding the predicted dynamics by hand.
+    table = np.zeros((N_TONES, 3), dtype=np.float32)
+    for k, v in MAPPING.items():
+        table[int(k)] = v
+    dyn = np.stack(
+        [
+            np.broadcast_to(
+                out["syllable"][:, None].astype(np.float32), (N_TRIALS, 3)
+            ),
+            table[out["tone"]],
+        ],
+        axis=1,
+    )
+    ref_mel = synth_model.apply(
+        synth_vars, artifacts["ecog"][:, 4:6, :], dyn, train=False
+    )
+    np.testing.assert_allclose(out["mel"], np.asarray(ref_mel),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_load_decoder_roundtrips_checkpoints(artifacts):
+    with open(artifacts["config_file"]) as f:
+        config = json.load(f)
+    dec = load_decoder(
+        CHANNELS, config, T,
+        "logistic", os.path.join(artifacts["root"], "tone_ckpt"),
+        "ShallowNN", os.path.join(artifacts["root"], "syll_ckpt"),
+        synthesis_model_name="SynthesisLite",
+        synthesis_model_path=os.path.join(artifacts["root"], "synth_ckpt"),
+        mel_dim=artifacts["mel_dim"],
+    )
+    out = dec.decode(artifacts["ecog"], CHANNELS)
+    tone_model, tone_vars = artifacts["models"][:2]
+    ref_tone = np.argmax(
+        tone_model.apply(tone_vars, artifacts["ecog"][:, :2, :], train=False),
+        axis=1,
+    )
+    np.testing.assert_array_equal(out["tone"], ref_tone)
+
+
+def test_cli_run_writes_outputs(artifacts, tmp_path):
+    out_dir = str(tmp_path / "decoded")
+    args = build_parser().parse_args([
+        "--sample_path", artifacts["sample_path"],
+        "--channel_file", artifacts["channel_file"],
+        "--config_file", artifacts["config_file"],
+        "--tone_model_name", "logistic",
+        "--tone_model_path", os.path.join(artifacts["root"], "tone_ckpt"),
+        "--syllable_model_name", "ShallowNN",
+        "--syllable_model_path", os.path.join(artifacts["root"], "syll_ckpt"),
+        "--synthesis_model_name", "SynthesisLite",
+        "--synthesis_model_path", os.path.join(artifacts["root"], "synth_ckpt"),
+        "--audio_sampling_rate", str(SR),
+        "--output_dir", out_dir,
+        "--n_wavs", "2",
+        "--benchmark",
+    ])
+    summary = run(args)
+
+    assert os.path.exists(os.path.join(out_dir, "predictions.csv"))
+    assert os.path.exists(os.path.join(out_dir, "mels.npz"))
+    assert os.path.exists(os.path.join(out_dir, "decoded_0.wav"))
+    assert os.path.exists(os.path.join(out_dir, "decoded_1.wav"))
+    assert summary["n_trials"] == N_TRIALS
+    assert 0.0 <= summary["tone_accuracy"] <= 1.0
+    assert summary["trial_latency_s"] > 0
+
+    import csv as _csv
+
+    with open(os.path.join(out_dir, "predictions.csv")) as f:
+        rows = list(_csv.DictReader(f))
+    assert len(rows) == N_TRIALS
+    assert {"trial", "tone_pred", "syllable_pred", "tone_true",
+            "syllable_true"} <= set(rows[0].keys())
+
+
+def test_scaler_rides_checkpoint_and_is_applied(artifacts, tmp_path):
+    """Classifiers trained under standardize: true save the train-split
+    (mu, sd); serving must reproduce that scaling — raw features through
+    a standardized-trained classifier decode at chance (the exact bug
+    this guards against)."""
+    from argparse import Namespace
+
+    from decode_tonal_langauge_tpu.training.classifier_pipeline import (
+        _maybe_save_checkpoint,
+    )
+
+    tone_model, tone_vars = artifacts["models"][:2]
+    rng = np.random.default_rng(7)
+    mu = rng.standard_normal((1, 2, T)).astype(np.float32) * 3
+    sd = (rng.random((1, 2, T)).astype(np.float32) + 0.5) * 2
+
+    log_dir = str(tmp_path / "ckpt_logs")
+    ns = Namespace(
+        save_checkpoints=True, log_dir=log_dir, model_name="logistic"
+    )
+    _maybe_save_checkpoint(ns, dict(tone_vars), "tone", 0, scaler=(mu, sd))
+    path = os.path.join(log_dir, "model_checkpoints", "tone_logistic_seed_0")
+
+    with open(artifacts["config_file"]) as f:
+        config = json.load(f)
+    dec = load_decoder(
+        CHANNELS, config, T,
+        "logistic", path,
+        "ShallowNN", os.path.join(artifacts["root"], "syll_ckpt"),
+    )
+    assert dec.tone_scaler is not None
+    out = dec.decode(artifacts["ecog"], CHANNELS)
+
+    scaled = (artifacts["ecog"][:, :2, :] - mu) / sd
+    ref = np.argmax(
+        tone_model.apply(tone_vars, scaled, train=False), axis=1
+    )
+    np.testing.assert_array_equal(out["tone"], ref)
+
+
+def test_synthesis_trainer_applies_frozen_scaler(artifacts):
+    """SynthesisTrainer standardizes frozen-classifier inputs when the
+    checkpoint carries a scaler (predictions must match hand-scaling)."""
+    import jax.numpy as jnp
+
+    from decode_tonal_langauge_tpu.training.synthesis_trainer import (
+        SynthesisTrainer,
+    )
+
+    tone_model, tone_vars, syll_model, syll_vars, synth_model, _ = (
+        artifacts["models"]
+    )
+    rng = np.random.default_rng(9)
+    mu = rng.standard_normal((1, 2, T)).astype(np.float32)
+    sd = (rng.random((1, 2, T)).astype(np.float32) + 0.5)
+    scaler = (jnp.asarray(mu), jnp.asarray(sd))
+
+    def dyn(trainer, x_tone, x_syll):
+        return np.asarray(trainer._predict_labels(x_tone, x_syll))
+
+    kwargs = dict(verbose=False)
+    base = SynthesisTrainer(
+        synth_model, tone_model, tone_vars, syll_model, syll_vars,
+        MAPPING, **kwargs,
+    )
+    scaled = SynthesisTrainer(
+        synth_model, tone_model, tone_vars, syll_model, syll_vars,
+        MAPPING, tone_scaler=scaler, syllable_scaler=scaler, **kwargs,
+    )
+    x_t = artifacts["ecog"][:, :2, :]
+    x_s = artifacts["ecog"][:, 2:4, :]
+    np.testing.assert_allclose(
+        dyn(scaled, x_t, x_s),
+        dyn(base, (x_t - mu) / sd, (x_s - mu) / sd),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_synthesizer_checkpoint_roundtrip(artifacts, tmp_path):
+    """train_synthesizer --checkpoint_dir (seed-parallel branch) saves
+    per-seed synthesizers the serving module can load and run."""
+    from decode_tonal_langauge_tpu.training import train_synthesizer
+
+    ckpt_dir = str(tmp_path / "ckpts")
+    args = train_synthesizer.build_parser().parse_args([
+        "--sample_path", artifacts["sample_path"],
+        "--subject_id", "1",
+        "--result_file", str(tmp_path / "results.csv"),
+        "--channel_file", artifacts["channel_file"],
+        "--config_file", artifacts["config_file"],
+        "--model_name", "lite_serving_test",
+        "--synthesis_model_name", "SynthesisLite",
+        "--syllable_model_name", "ShallowNN",
+        "--tone_model_name", "logistic",
+        "--epochs", "2",
+        "--batch_size", "4",
+        "--repeat", "2",
+        "--verbose", "0",
+        "--audio_sampling_rate", str(SR),
+        "--checkpoint_dir", ckpt_dir,
+    ])
+    train_synthesizer.run(args)
+
+    ckpts = sorted(os.listdir(ckpt_dir))
+    assert len(ckpts) == 2 and all("SynthesisLite_seed_" in c for c in ckpts)
+
+    with open(artifacts["config_file"]) as f:
+        config = json.load(f)
+    dec = load_decoder(
+        CHANNELS, config, T,
+        "logistic", os.path.join(artifacts["root"], "tone_ckpt"),
+        "ShallowNN", os.path.join(artifacts["root"], "syll_ckpt"),
+        synthesis_model_name="SynthesisLite",
+        synthesis_model_path=os.path.join(ckpt_dir, ckpts[0]),
+        mel_dim=artifacts["mel_dim"],
+    )
+    out = dec.decode(artifacts["ecog"], CHANNELS)
+    assert out["mel"].shape == (N_TRIALS, artifacts["mel_dim"])
+    assert np.all(np.isfinite(out["mel"]))
+
+
+def test_classifier_only_decode(artifacts, tmp_path):
+    out_dir = str(tmp_path / "labels_only")
+    args = build_parser().parse_args([
+        "--sample_path", artifacts["sample_path"],
+        "--channel_file", artifacts["channel_file"],
+        "--config_file", artifacts["config_file"],
+        "--tone_model_name", "logistic",
+        "--tone_model_path", os.path.join(artifacts["root"], "tone_ckpt"),
+        "--syllable_model_name", "ShallowNN",
+        "--syllable_model_path", os.path.join(artifacts["root"], "syll_ckpt"),
+        "--output_dir", out_dir,
+    ])
+    summary = run(args)
+    assert "n_wavs" not in summary
+    assert not os.path.exists(os.path.join(out_dir, "mels.npz"))
+    assert os.path.exists(os.path.join(out_dir, "predictions.csv"))
