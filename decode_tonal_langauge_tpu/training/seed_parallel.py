@@ -109,6 +109,7 @@ class SeedParallelTrainer:
         patience: int = 5,
         mesh: Optional[jax.sharding.Mesh] = None,
         verbose: bool = False,
+        scan_unroll: int = 1,
     ):
         self.seeds = [int(s) for s in seeds]
         self.mesh = mesh
@@ -123,6 +124,7 @@ class SeedParallelTrainer:
             patience=patience,
             seed=self.seeds[0],
             mesh=None,
+            scan_unroll=scan_unroll,
         )
 
     # ------------------------------------------------------------------

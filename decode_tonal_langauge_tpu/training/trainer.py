@@ -91,7 +91,14 @@ class ClassifierTrainer:
         log_dir: Optional[str] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
         verbose: bool = False,
+        scan_unroll: int = 1,
     ):
+        # Unroll factor for the inner batch/eval scans: lets XLA fuse
+        # across per-batch kernels of tiny models where loop overhead
+        # dominates. Semantics-neutral (histories are identical; see
+        # tests/test_training.py); tune per chip — through this repo's
+        # tunneled backend the effect is below measurement noise.
+        self.scan_unroll = max(1, int(scan_unroll))
         self.model = model
         self.n_classes = n_classes
         self.max_epochs = max_epochs
@@ -127,6 +134,7 @@ class ClassifierTrainer:
         return (
             type(self), self.model, self.n_classes, self.batch_size,
             self._learning_rate, self._weight_decay, self.mesh, self._has_bn,
+            self.scan_unroll,
         )
 
     def __hash__(self):
@@ -233,7 +241,9 @@ class ClassifierTrainer:
                 acc = _macro_accuracy(out.argmax(axis=-1), by, bw, self.n_classes)
                 return None, (loss, acc)
 
-            _, (losses, accs) = jax.lax.scan(step, None, (vxb, vyb, vwb))
+            _, (losses, accs) = jax.lax.scan(
+                step, None, (vxb, vyb, vwb), unroll=self.scan_unroll
+            )
             return losses.mean(), accs.mean()
 
         def do_epoch(operand):
@@ -250,7 +260,8 @@ class ClassifierTrainer:
                 w[perm].reshape((n_batches, self.batch_size))
             )
             (params, batch_stats, opt_state, rng), (losses, accs) = jax.lax.scan(
-                self._batch_step, (params, batch_stats, opt_state, rng), (xb, yb, wb)
+                self._batch_step, (params, batch_stats, opt_state, rng),
+                (xb, yb, wb), unroll=self.scan_unroll,
             )
             val_loss, val_acc = eval_pass(params, batch_stats)
             metrics = (

@@ -497,7 +497,12 @@ def main():
     ap.add_argument("--noise-scale", type=float, default=1.0,
                     help="synthetic-subject noise amplitude; >1 makes the "
                          "decode task non-saturated (use a fresh --workdir)")
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="override the default classifier epochs (30)")
     args = ap.parse_args()
+    if args.epochs:
+        global EPOCHS
+        EPOCHS = args.epochs
     only = set(args.only.split(",")) if args.only else None
 
     os.makedirs(args.workdir, exist_ok=True)

@@ -147,6 +147,29 @@ class TestSampleHandler:
 
 
 class TestTrainer:
+    def test_scan_unroll_is_semantics_neutral(self, rng):
+        """unroll > 1 on the inner batch/eval scans must reproduce the
+        unroll=1 fit exactly (same shuffles, same update order)."""
+        x, y = _separable_data(rng, n=96)
+
+        def fit(unroll):
+            model = LogisticRegressionClassifier(
+                input_dim=4 * 20, n_classes=3
+            )
+            trainer = ClassifierTrainer(
+                model, n_classes=3, learning_rate=5e-3, batch_size=16,
+                max_epochs=5, patience=5, seed=0, scan_unroll=unroll,
+            )
+            return trainer.fit(x[:80], y[:80], x[80:], y[80:]).history
+
+        h1, h4 = fit(1), fit(4)
+        assert len(h1) == len(h4)
+        for e1, e4 in zip(h1, h4):
+            for key in e1:
+                np.testing.assert_allclose(
+                    e1[key], e4[key], rtol=1e-5, atol=1e-6
+                )
+
     def test_logistic_converges(self, rng):
         x, y = _separable_data(rng)
         model = LogisticRegressionClassifier(input_dim=4 * 20, n_classes=3)
