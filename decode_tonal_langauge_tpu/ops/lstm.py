@@ -129,7 +129,9 @@ def _lstm_bwd(res, dhs):
     dwi = jax.lax.dot(
         x_flat.T, da_flat, preferred_element_type=jnp.float32
     ).astype(wi.dtype)
-    db = da_flat.sum(axis=0)
+    db = jnp.sum(
+        da_flat, axis=0, dtype=jnp.float32
+    ).astype(da_flat.dtype)  # f32 accumulation, like dwh/dwi
     dx = jnp.transpose(
         das @ wi.T, (1, 0, 2)
     )  # (T,B,4H)@(4H,I) -> (B,T,I)

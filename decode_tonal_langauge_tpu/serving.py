@@ -124,12 +124,17 @@ class TonalDecoder:
         """Decode epochs (B, C_total, T): returns predicted tone and
         syllable ids, class probabilities, and (with a synthesizer) the
         predicted flattened mel spectrograms."""
+        # Sorted: the training stage's sample handler sorts channel
+        # subsets, so checkpointed weights and scaler rows are laid out
+        # in ascending channel order.
         x_tone = jnp.asarray(
-            ecog_samples[:, channel_selections["tone_discriminative"], :],
+            ecog_samples[:, sorted(channel_selections["tone_discriminative"]), :],
             dtype=jnp.float32,
         )
         x_syll = jnp.asarray(
-            ecog_samples[:, channel_selections["syllable_discriminative"], :],
+            ecog_samples[
+                :, sorted(channel_selections["syllable_discriminative"]), :
+            ],
             dtype=jnp.float32,
         )
         non = select_non_discriminative_channels(
@@ -176,10 +181,28 @@ class TonalDecoder:
 
 
 # ----------------------------------------------------------------------
-def _build_classifier(name, n_classes, n_channels, n_timepoints):
-    from .training.train_synthesizer import build_classifier
+# The synthesizer CLI's short model names, resolved through the model
+# factory so model_kwargs (dtype, lstm_dim, custom dotted-path classes)
+# reproduce exactly what the training stage built.
+_CLASSIFIER_SHORT_NAMES = {
+    "CNN": "models.deep_classifiers.CNNClassifier",
+    "CNNRNN": "models.deep_classifiers.CNNRNNClassifier",
+    "ShallowNN": "models.simple_classifiers.ShallowNNClassifier",
+    "logistic": "models.simple_classifiers.LogisticRegressionClassifier",
+}
 
-    return build_classifier(name, n_classes, n_channels, n_timepoints)
+
+def _build_classifier(name, n_classes, n_channels, n_timepoints,
+                      model_kwargs=None):
+    from .models.factory import get_classifier_by_name
+
+    return get_classifier_by_name(
+        _CLASSIFIER_SHORT_NAMES.get(name, name),
+        n_classes=n_classes,
+        n_channels=n_channels,
+        seq_length=n_timepoints,
+        classifier_kwargs=model_kwargs or {},
+    )
 
 
 def load_decoder(
@@ -193,19 +216,28 @@ def load_decoder(
     synthesis_model_name: Optional[str] = None,
     synthesis_model_path: Optional[str] = None,
     mel_dim: Optional[int] = None,
+    tone_model_kwargs: Optional[Dict[str, Any]] = None,
+    syllable_model_kwargs: Optional[Dict[str, Any]] = None,
+    synthesis_dtype: str = "float32",
 ) -> TonalDecoder:
     """Rebuild the frozen models from checkpoints and wire a decoder."""
     from .runtime.checkpoint import load_params
     from .training.train_synthesizer import build_synthesis_model
 
+    if bool(synthesis_model_name) != bool(synthesis_model_path):
+        raise ValueError(
+            "synthesis_model_name and synthesis_model_path must be given "
+            "together (got one without the other)."
+        )
     n_tone_ch = len(channel_selections["tone_discriminative"])
     n_syll_ch = len(channel_selections["syllable_discriminative"])
     tone_model = _build_classifier(
-        tone_model_name, dataset_config["n_tones"], n_tone_ch, n_timepoints
+        tone_model_name, dataset_config["n_tones"], n_tone_ch, n_timepoints,
+        model_kwargs=tone_model_kwargs,
     )
     syll_model = _build_classifier(
         syllable_model_name, dataset_config["n_syllables"], n_syll_ch,
-        n_timepoints,
+        n_timepoints, model_kwargs=syllable_model_kwargs,
     )
     def _load_with_scaler(path):
         restored = dict(load_params(path))
@@ -233,7 +265,8 @@ def load_decoder(
                 "mel_dim is required when loading a synthesizer."
             )
         synthesis_model = build_synthesis_model(
-            synthesis_model_name, mel_dim, len(non), n_timepoints
+            synthesis_model_name, mel_dim, len(non), n_timepoints,
+            dtype=synthesis_dtype,
         )
         synthesis_variables = load_params(synthesis_model_path)
 
@@ -264,6 +297,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--syllable_model_path", type=str, required=True)
     p.add_argument("--synthesis_model_name", type=str, default=None)
     p.add_argument("--synthesis_model_path", type=str, default=None)
+    p.add_argument(
+        "--tone_model_kwargs", type=str, default=None,
+        help='JSON dict of model kwargs used at training time, e.g. '
+             '\'{"lstm_dim": 400, "dtype": "bfloat16"}\'.',
+    )
+    p.add_argument("--syllable_model_kwargs", type=str, default=None)
+    p.add_argument(
+        "--synthesis_dtype", type=str, default="float32",
+        help="Synthesis-model compute dtype (match --dtype at training "
+             "time if it was set; params are f32 either way).",
+    )
     p.add_argument("--audio_sampling_rate", type=int, default=24414)
     p.add_argument("--output_dir", type=str, required=True)
     p.add_argument("--n_wavs", type=int, default=4)
@@ -286,7 +330,7 @@ def run(params: argparse.Namespace) -> Dict[str, Any]:
     ecog = dataset["ecog"]
     n_timepoints = ecog.shape[2]
 
-    mel_kwargs = dict(dataset_config["mel_kwargs"])
+    mel_kwargs = dict(dataset_config.get("mel_kwargs", {}))
     mel_dim = None
     if params.synthesis_model_name:
         # The synthesizer's output dim comes from the training mels
@@ -308,6 +352,15 @@ def run(params: argparse.Namespace) -> Dict[str, Any]:
         synthesis_model_name=params.synthesis_model_name,
         synthesis_model_path=params.synthesis_model_path,
         mel_dim=mel_dim,
+        tone_model_kwargs=(
+            json.loads(params.tone_model_kwargs)
+            if params.tone_model_kwargs else None
+        ),
+        syllable_model_kwargs=(
+            json.loads(params.syllable_model_kwargs)
+            if params.syllable_model_kwargs else None
+        ),
+        synthesis_dtype=params.synthesis_dtype,
     )
 
     out = decoder.decode(ecog, channel_selections)
@@ -329,8 +382,11 @@ def run(params: argparse.Namespace) -> Dict[str, Any]:
             row["syllable_true"] = int(dataset["syllable"][i])
         rows.append(row)
     csv_path = os.path.join(params.output_dir, "predictions.csv")
+    fieldnames = ["trial", "tone_pred", "syllable_pred"] + (
+        ["tone_true", "syllable_true"] if has_true else []
+    )
     with open(csv_path, "w", newline="") as f:
-        writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        writer = csv.DictWriter(f, fieldnames=fieldnames)
         writer.writeheader()
         writer.writerows(rows)
     if has_true:

@@ -49,6 +49,7 @@ def _make_trainer(params: Namespace, model, n_classes: int, seed: int, log_dir):
         log_dir=log_dir,
         mesh=getattr(params, "mesh", None),
         verbose=getattr(params, "verbose", 1) > 1,
+        scan_unroll=int(getattr(params, "scan_unroll", 1)),
     )
 
 
@@ -196,6 +197,7 @@ def _fit_eval_all_seeds(
         patience=params.patience,
         mesh=getattr(params, "mesh", None),
         verbose=getattr(params, "verbose", 1) > 1,
+        scan_unroll=int(getattr(params, "scan_unroll", 1)),
     )
     results = spt.fit_eval(
         np.stack(tr_x), np.stack(tr_y),

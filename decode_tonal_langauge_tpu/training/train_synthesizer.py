@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--syllable_model_path", type=str, default=None)
     parser.add_argument("--tone_model_path", type=str, default=None)
     parser.add_argument("--synthesis_model_name", type=str, required=True)
+    parser.add_argument(
+        "--dtype", type=str, default="float32",
+        help="Synthesis-model compute dtype (params stay f32): bfloat16 "
+             "roughly halves the SynthesisFull train step on TPU (the "
+             "label LSTM is HBM-bound on its recurrent weights).",
+    )
     parser.add_argument("--syllable_model_name", type=str, required=True)
     parser.add_argument("--tone_model_name", type=str, required=True)
     # ----- Audio -----
@@ -140,16 +146,19 @@ def build_classifier(
 
 
 def build_synthesis_model(
-    name: str, output_dim: int, n_channels: int, n_timepoints: int
+    name: str, output_dim: int, n_channels: int, n_timepoints: int,
+    dtype: str = "float32",
 ):
+    import jax.numpy as jnp
+
+    kwargs = dict(
+        output_dim=output_dim, n_channels=n_channels,
+        n_timepoints=n_timepoints, dtype=jnp.dtype(dtype),
+    )
     if name == "SynthesisFull":
-        return SynthesisModelCNN(
-            output_dim=output_dim, n_channels=n_channels, n_timepoints=n_timepoints
-        )
+        return SynthesisModelCNN(**kwargs)
     if name == "SynthesisLite":
-        return SynthesisLite(
-            output_dim=output_dim, n_channels=n_channels, n_timepoints=n_timepoints
-        )
+        return SynthesisLite(**kwargs)
     raise ValueError(
         f"Unknown synthesis model '{name}'; expected one of {SYNTHESIS_MODELS}."
     )
@@ -217,8 +226,16 @@ def run(params: argparse.Namespace) -> dict:
     dataset = np.load(params.sample_path)
     ecog_samples = dataset["ecog"]
     ecog_non = ecog_samples[:, non_discriminative_channels, :]
-    ecog_syllables = ecog_samples[:, channel_selections["syllable_discriminative"], :]
-    ecog_tones = ecog_samples[:, channel_selections["tone_discriminative"], :]
+    # Sorted to match the channel order the classifier training stage
+    # used (ClassificationSampleHandler sorts its channel union), so
+    # pretrained classifier checkpoints see their training-time layout
+    # even for hand-written channel files.
+    ecog_syllables = ecog_samples[
+        :, sorted(channel_selections["syllable_discriminative"]), :
+    ]
+    ecog_tones = ecog_samples[
+        :, sorted(channel_selections["tone_discriminative"]), :
+    ]
     audios = dataset["audio"]
 
     mels = np.stack(
@@ -277,7 +294,7 @@ def run(params: argparse.Namespace) -> dict:
     def make_trainer(seed: int) -> SynthesisTrainer:
         synthesis_model = build_synthesis_model(
             params.synthesis_model_name, mels.shape[1], ecog_non.shape[1],
-            n_timepoints,
+            n_timepoints, dtype=getattr(params, "dtype", "float32"),
         )
         return SynthesisTrainer(
             synthesis_model,

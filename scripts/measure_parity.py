@@ -332,13 +332,14 @@ def train_torch_cnn(outputs, target: str = "syllable"):
 
 
 # ---------------------------------------------------------------------------
-def train_torch_synth(outputs, epochs: int = 60):
+def train_torch_synth(outputs, epochs: int = 60, predicted_labels=None):
     """Torch SynthesisLite at matched data/mels/splits/epochs.
 
     Same mels (our deterministic codec), same channel subsets, same split
-    seed stream. One approximation: label dynamics come from TRUE labels
-    instead of frozen-classifier predictions — at this subject's
-    separability the classifiers are ~100% accurate, so the inputs match.
+    seed stream. ``predicted_labels`` (path to an npz of tone/syllable
+    predictions from the SAME frozen classifiers our synthesizer uses)
+    makes the label dynamics identical on both sides; without it, TRUE
+    labels are used (only fair when the classifiers are ~100% accurate).
     """
     import torch
     import torch.nn as nn
@@ -369,11 +370,16 @@ def train_torch_synth(outputs, epochs: int = 60):
     ).astype(np.float32)
     mapping = {"0": [5, 5, 5], "1": [3, 4, 5], "2": [3, 2, 3], "3": [5, 3, 1]}
     table, n_dyn = tone_dynamics_table(mapping)
-    contour = table[data["tone"].astype(int)]
+    if predicted_labels:
+        preds = np.load(predicted_labels)
+        tone_src, syll_src = preds["tone"], preds["syllable"]
+    else:
+        tone_src, syll_src = data["tone"], data["syllable"]
+    contour = table[tone_src.astype(int)]
     labels = np.stack(
         [
             np.broadcast_to(
-                data["syllable"][:, None].astype(np.float32), contour.shape
+                syll_src[:, None].astype(np.float32), contour.shape
             ),
             contour.astype(np.float32),
         ],
@@ -441,9 +447,7 @@ def train_torch_synth(outputs, epochs: int = 60):
     }
 
 
-def train_synth_ours(workdir: str, outputs, model: str, epochs: int):
-    from decode_tonal_langauge_tpu.training import train_synthesizer
-
+def _synth_config_path(workdir: str) -> str:
     cfg_path = os.path.join(workdir, "synth_config.json")
     with open(cfg_path, "w") as f:
         json.dump(
@@ -457,27 +461,123 @@ def train_synth_ours(workdir: str, outputs, model: str, epochs: int):
             },
             f,
         )
-    parser = train_synthesizer.build_parser()
-    params = parser.parse_args(
-        [
-            "--sample_path",
-            os.path.join(outputs["sample_collection"], "subject_1.npz"),
-            "--subject_id", "1",
-            "--result_file", os.path.join(workdir, f"synth_{model}.csv"),
-            "--channel_file",
-            os.path.join(outputs["channel_selection"], "subject_1.json"),
-            "--config_file", cfg_path,
-            "--model_name", f"parity_{model}",
-            "--synthesis_model_name", model,
-            "--syllable_model_name", "logistic",
-            "--tone_model_name", "logistic",
-            "--epochs", str(epochs),
-            "--batch_size", "16",
-            "--repeat", str(len(SEEDS)),
-            "--verbose", "0",
-            "--audio_sampling_rate", "8000",
-        ]
+    return cfg_path
+
+
+def train_label_classifiers(workdir: str, outputs):
+    """Production logistic tone+syllable classifiers with checkpoints —
+    the frozen models the synthesizer (and the torch equivalent, via the
+    shared predicted labels) consume, so both sides see the SAME
+    predicted dynamics. Returns checkpoint paths + test accuracies +
+    predicted labels for every trial."""
+    import pandas as pd
+
+    from decode_tonal_langauge_tpu.training import train_classifier
+
+    log_dir = os.path.join(workdir, "logs_synth_classifiers")
+    config = {
+        "model": {
+            "model": "models.simple_classifiers.LogisticRegressionClassifier",
+            "model_name": "logistic",
+            "model_kwargs": {},
+        },
+        "training": {
+            "module": "train_classifier",
+            "params": {
+                "io": {
+                    "log_dir": log_dir,
+                    "sample_dir": outputs["sample_collection"],
+                    "channel_selection_dir": outputs["channel_selection"],
+                },
+                "experiment": {
+                    "targets": ["tone", "syllable"],
+                    "features": "ecog",
+                    "separate_models": True,
+                    "seed": 42,
+                    "repeat": 1,
+                    "verbose": 0,
+                },
+                "training": {
+                    "train_ratio": 0.7, "vali_ratio": 0.1, "test_ratio": 0.2,
+                    "batch_size": 16, "epochs": EPOCHS, "lr": 0.001,
+                    "patience": EPOCHS, "standardize": True,
+                    "save_checkpoints": True,
+                },
+            },
+        },
+        "evaluation": {"metrics": ["accuracy"]},
+    }
+    out_dir = train_classifier.run(config)
+    ckpt_dir = os.path.join(out_dir, "model_checkpoints")
+    ckpts = {
+        target: os.path.join(
+            ckpt_dir,
+            next(c for c in sorted(os.listdir(ckpt_dir))
+                 if c.startswith(target)),
+        )
+        for target in ("tone", "syllable")
+    }
+    df = pd.read_csv(os.path.join(out_dir, "results.csv"))
+    accs = {
+        row["target"]: float(row["accuracy_mean"]) for _, row in df.iterrows()
+    }
+
+    # Shared predicted labels for every trial (what the frozen
+    # classifiers emit — the dynamics BOTH synthesis columns consume).
+    import json as _json
+
+    from decode_tonal_langauge_tpu.serving import load_decoder
+
+    with open(os.path.join(outputs["channel_selection"], "subject_1.json")) as f:
+        selections = _json.load(f)
+    cfg_path = _synth_config_path(workdir)
+    with open(cfg_path) as f:
+        dataset_config = _json.load(f)
+    data = np.load(os.path.join(outputs["sample_collection"], "subject_1.npz"))
+    dec = load_decoder(
+        selections, dataset_config, data["ecog"].shape[2],
+        "logistic", ckpts["tone"], "logistic", ckpts["syllable"],
     )
+    out = dec.decode(data["ecog"], selections)
+    pred_path = os.path.join(workdir, "predicted_labels.npz")
+    np.savez(pred_path, tone=out["tone"], syllable=out["syllable"])
+    return {
+        "checkpoints": ckpts,
+        "accuracy": accs,
+        "predicted_labels": pred_path,
+    }
+
+
+def train_synth_ours(workdir: str, outputs, model: str, epochs: int,
+                     classifier_ckpts=None):
+    from decode_tonal_langauge_tpu.training import train_synthesizer
+
+    cfg_path = _synth_config_path(workdir)
+    argv = [
+        "--sample_path",
+        os.path.join(outputs["sample_collection"], "subject_1.npz"),
+        "--subject_id", "1",
+        "--result_file", os.path.join(workdir, f"synth_{model}.csv"),
+        "--channel_file",
+        os.path.join(outputs["channel_selection"], "subject_1.json"),
+        "--config_file", cfg_path,
+        "--model_name", f"parity_{model}",
+        "--synthesis_model_name", model,
+        "--syllable_model_name", "logistic",
+        "--tone_model_name", "logistic",
+        "--epochs", str(epochs),
+        "--batch_size", "16",
+        "--repeat", str(len(SEEDS)),
+        "--verbose", "0",
+        "--audio_sampling_rate", "8000",
+    ]
+    if classifier_ckpts:
+        argv += [
+            "--tone_model_path", classifier_ckpts["tone"],
+            "--syllable_model_path", classifier_ckpts["syllable"],
+        ]
+    parser = train_synthesizer.build_parser()
+    params = parser.parse_args(argv)
     t0 = time.perf_counter()
     summary = train_synthesizer.run(params)
     return {
@@ -543,16 +643,24 @@ def main():
         save()
 
     if wanted("synth"):
+        if "label_classifiers" not in results:
+            results["label_classifiers"] = train_label_classifiers(
+                args.workdir, outputs
+            )
+            save()
+        ckpts = results["label_classifiers"]["checkpoints"]
         if "synth_lite" not in results:
             results["synth_lite"] = train_synth_ours(
-                args.workdir, outputs, "SynthesisLite", epochs=60
+                args.workdir, outputs, "SynthesisLite", epochs=60,
+                classifier_ckpts=ckpts,
             )
             save()
         if "synth_cnn" not in results:
             # "SynthesisFull" is the CLI's name for SynthesisModelCNN
             # (the paper model; models/synthesis.py).
             results["synth_cnn"] = train_synth_ours(
-                args.workdir, outputs, "SynthesisFull", epochs=EPOCHS
+                args.workdir, outputs, "SynthesisFull", epochs=EPOCHS,
+                classifier_ckpts=ckpts,
             )
             save()
         results["synth"] = True
@@ -564,7 +672,10 @@ def main():
         save()
 
     if wanted("torch_synth"):
-        results["torch_synth"] = train_torch_synth(outputs)
+        pred = (results.get("label_classifiers") or {}).get("predicted_labels")
+        results["torch_synth"] = train_torch_synth(
+            outputs, predicted_labels=pred
+        )
         save()
 
     out_path = args.out or os.path.join(

@@ -315,6 +315,73 @@ def test_synthesizer_checkpoint_roundtrip(artifacts, tmp_path):
     assert np.all(np.isfinite(out["mel"]))
 
 
+def test_unsorted_channel_file_matches_sorted(artifacts):
+    """Training sorts channel subsets (sample handler); serving must
+    decode identically for a hand-written unsorted channel file."""
+    tone_model, tone_vars, syll_model, syll_vars = artifacts["models"][:4]
+    dec = TonalDecoder(tone_model, tone_vars, syll_model, syll_vars, MAPPING)
+    shuffled = dict(CHANNELS)
+    shuffled["tone_discriminative"] = [1, 0]
+    shuffled["syllable_discriminative"] = [3, 2]
+    out_sorted = dec.decode(artifacts["ecog"], CHANNELS)
+    out_shuffled = dec.decode(artifacts["ecog"], shuffled)
+    np.testing.assert_array_equal(out_sorted["tone"], out_shuffled["tone"])
+    np.testing.assert_array_equal(
+        out_sorted["syllable"], out_shuffled["syllable"]
+    )
+
+
+def test_model_kwargs_reach_the_factory(artifacts):
+    """Custom training-time model kwargs (e.g. a non-default hidden
+    size) must be reproducible at serving time."""
+    from decode_tonal_langauge_tpu.serving import _build_classifier
+
+    model = _build_classifier(
+        "ShallowNN", N_TONES, 2, T, model_kwargs={"hidden_dim": 7}
+    )
+    assert model.hidden_dim == 7
+
+
+def test_synthesis_name_without_path_rejected(artifacts):
+    with open(artifacts["config_file"]) as f:
+        config = json.load(f)
+    with pytest.raises(ValueError, match="together"):
+        load_decoder(
+            CHANNELS, config, T,
+            "logistic", os.path.join(artifacts["root"], "tone_ckpt"),
+            "ShallowNN", os.path.join(artifacts["root"], "syll_ckpt"),
+            synthesis_model_name="SynthesisLite",
+            synthesis_model_path=None,
+        )
+
+
+def test_classifier_only_without_mel_kwargs(artifacts, tmp_path):
+    """Classifier-only decode must not require mel_kwargs in the config."""
+    config_file = str(tmp_path / "minimal_config.json")
+    with open(config_file, "w") as f:
+        json.dump(
+            {
+                "tone_dynamic_mapping": MAPPING,
+                "n_tones": N_TONES,
+                "n_syllables": N_SYLLS,
+            },
+            f,
+        )
+    out_dir = str(tmp_path / "labels")
+    args = build_parser().parse_args([
+        "--sample_path", artifacts["sample_path"],
+        "--channel_file", artifacts["channel_file"],
+        "--config_file", config_file,
+        "--tone_model_name", "logistic",
+        "--tone_model_path", os.path.join(artifacts["root"], "tone_ckpt"),
+        "--syllable_model_name", "ShallowNN",
+        "--syllable_model_path", os.path.join(artifacts["root"], "syll_ckpt"),
+        "--output_dir", out_dir,
+    ])
+    summary = run(args)
+    assert summary["n_trials"] == N_TRIALS
+
+
 def test_classifier_only_decode(artifacts, tmp_path):
     out_dir = str(tmp_path / "labels_only")
     args = build_parser().parse_args([
