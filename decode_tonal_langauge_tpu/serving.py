@@ -71,6 +71,7 @@ class TonalDecoder:
         synthesis_variables=None,
         tone_scaler=None,
         syllable_scaler=None,
+        mesh=None,
     ) -> None:
         self.tone_model = tone_model
         self.tone_variables = tone_variables
@@ -85,6 +86,24 @@ class TonalDecoder:
         self.syllable_scaler = syllable_scaler
         table, self.n_dynamics = tone_dynamics_table(tone_dynamic_mapping)
         self.dynamics_table = jnp.asarray(table, dtype=jnp.float32)
+
+        # Optional device mesh: the decode batch axis shards over `data`
+        # (params replicate) — the scale-out layout for batch serving.
+        from .parallel.mesh import DataParallelLayout
+
+        self.mesh = mesh
+        self._layout = DataParallelLayout(mesh)
+        if mesh is not None:
+            put = self._layout.replicate_tree
+            self.tone_variables = put(self.tone_variables)
+            self.syllable_variables = put(self.syllable_variables)
+            self.dynamics_table = put(self.dynamics_table)
+            if self.synthesis_variables is not None:
+                self.synthesis_variables = put(self.synthesis_variables)
+            if self.tone_scaler is not None:
+                self.tone_scaler = put(self.tone_scaler)
+            if self.syllable_scaler is not None:
+                self.syllable_scaler = put(self.syllable_scaler)
 
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnums=(0,))
@@ -127,34 +146,56 @@ class TonalDecoder:
         # Sorted: the training stage's sample handler sorts channel
         # subsets, so checkpointed weights and scaler rows are laid out
         # in ascending channel order.
-        x_tone = jnp.asarray(
+        n = ecog_samples.shape[0]
+        x_tone = np.asarray(
             ecog_samples[:, sorted(channel_selections["tone_discriminative"]), :],
-            dtype=jnp.float32,
+            dtype=np.float32,
         )
-        x_syll = jnp.asarray(
+        x_syll = np.asarray(
             ecog_samples[
                 :, sorted(channel_selections["syllable_discriminative"]), :
             ],
-            dtype=jnp.float32,
+            dtype=np.float32,
         )
         non = select_non_discriminative_channels(
             channel_selections,
             ["tone_discriminative", "syllable_discriminative"],
         )
-        ecog_non = jnp.asarray(
-            ecog_samples[:, non, :], dtype=jnp.float32
-        )
-        tones, sylls, tone_probs, syll_probs, mel = self._decode_jit(
-            x_tone, x_syll, ecog_non
-        )
+        ecog_non = np.asarray(ecog_samples[:, non, :], dtype=np.float32)
+
+        # With a mesh, pad the batch to a multiple of `data` and shard
+        # the sample axis; padding rows are dropped from the outputs.
+        pad = self._layout.round_batch(max(n, 1)) - n
+        inputs = []
+        for arr in (x_tone, x_syll, ecog_non):
+            if pad:
+                arr = np.concatenate(
+                    [arr, np.repeat(arr[-1:], pad, axis=0)], axis=0
+                )
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from .parallel.mesh import global_device_put
+
+                arr = global_device_put(
+                    arr,
+                    NamedSharding(
+                        self.mesh, P("data", *([None] * (arr.ndim - 1)))
+                    ),
+                )
+            else:
+                arr = jnp.asarray(arr)
+            inputs.append(arr)
+
+        tones, sylls, tone_probs, syll_probs, mel = self._decode_jit(*inputs)
         out = {
-            "tone": np.asarray(tones),
-            "syllable": np.asarray(sylls),
-            "tone_probs": np.asarray(tone_probs),
-            "syllable_probs": np.asarray(syll_probs),
+            "tone": np.asarray(tones)[:n],
+            "syllable": np.asarray(sylls)[:n],
+            "tone_probs": np.asarray(tone_probs)[:n],
+            "syllable_probs": np.asarray(syll_probs)[:n],
         }
         if mel is not None:
-            out["mel"] = np.asarray(mel)
+            out["mel"] = np.asarray(mel)[:n]
         return out
 
     def synthesize_wavs(
@@ -219,6 +260,7 @@ def load_decoder(
     tone_model_kwargs: Optional[Dict[str, Any]] = None,
     syllable_model_kwargs: Optional[Dict[str, Any]] = None,
     synthesis_dtype: str = "float32",
+    mesh=None,
 ) -> TonalDecoder:
     """Rebuild the frozen models from checkpoints and wire a decoder."""
     from .runtime.checkpoint import load_params
@@ -280,6 +322,7 @@ def load_decoder(
         synthesis_variables=synthesis_variables,
         tone_scaler=tone_scaler,
         syllable_scaler=syllable_scaler,
+        mesh=mesh,
     )
 
 
@@ -315,6 +358,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--benchmark", action="store_true",
         help="Also report single-trial end-to-end decode latency.",
     )
+    p.add_argument(
+        "--parallel_data", type=int, default=None,
+        help="Shard the decode batch over a `data` mesh of this many "
+             "devices (params replicate).",
+    )
     return p
 
 
@@ -341,6 +389,13 @@ def run(params: argparse.Namespace) -> Dict[str, Any]:
         )
         mel_dim = int(probe.size)
 
+    from .parallel.mesh import mesh_from_config
+
+    mesh = (
+        mesh_from_config({"data": params.parallel_data})
+        if getattr(params, "parallel_data", None)
+        else None
+    )
     decoder = load_decoder(
         channel_selections,
         dataset_config,
@@ -361,6 +416,7 @@ def run(params: argparse.Namespace) -> Dict[str, Any]:
             if params.syllable_model_kwargs else None
         ),
         synthesis_dtype=params.synthesis_dtype,
+        mesh=mesh,
     )
 
     out = decoder.decode(ecog, channel_selections)

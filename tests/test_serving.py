@@ -315,6 +315,33 @@ def test_synthesizer_checkpoint_roundtrip(artifacts, tmp_path):
     assert np.all(np.isfinite(out["mel"]))
 
 
+def test_mesh_decode_matches_single_device(artifacts):
+    """Batch sharded over an 8-device `data` mesh must decode exactly
+    like the unsharded path (incl. the pad-and-strip for N % dp != 0 —
+    N_TRIALS=10 over 8 devices pads by 6)."""
+    from decode_tonal_langauge_tpu.parallel.mesh import make_mesh
+
+    tone_model, tone_vars, syll_model, syll_vars, synth_model, synth_vars = (
+        artifacts["models"]
+    )
+
+    def decode(mesh):
+        dec = TonalDecoder(
+            tone_model, tone_vars, syll_model, syll_vars, MAPPING,
+            synthesis_model=synth_model, synthesis_variables=synth_vars,
+            mesh=mesh,
+        )
+        return dec.decode(artifacts["ecog"], CHANNELS)
+
+    single = decode(None)
+    sharded = decode(make_mesh(8, axis_names=("data",)))
+    np.testing.assert_array_equal(single["tone"], sharded["tone"])
+    np.testing.assert_array_equal(single["syllable"], sharded["syllable"])
+    np.testing.assert_allclose(single["mel"], sharded["mel"],
+                               rtol=1e-5, atol=1e-5)
+    assert sharded["mel"].shape[0] == N_TRIALS
+
+
 def test_unsorted_channel_file_matches_sorted(artifacts):
     """Training sorts channel subsets (sample handler); serving must
     decode identically for a hand-written unsorted channel file."""
