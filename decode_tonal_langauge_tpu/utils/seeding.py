@@ -1,0 +1,28 @@
+"""Seeding utility mirroring the reference's ``utils/utils.py:set_seeds``.
+
+The reference seeds NumPy + torch globally (``/root/reference/utils/
+utils.py:6-20``). JAX has no global RNG — randomness flows through
+explicit keys — so the TPU-native counterpart seeds NumPy (whose global
+stream the pipeline's reference-compatible seed draws use, see
+``training/train_classifier.py``) and hands back a root ``jax.random``
+key for everything on device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def set_seeds(seed: int):
+    """Seed NumPy's global stream and return a root JAX PRNG key.
+
+    Matches the reference contract (reproducible seed draws via
+    ``np.random``) while making the device-side stream explicit:
+
+        key = set_seeds(42)
+        k_init, k_dropout = jax.random.split(key)
+    """
+    import jax
+
+    np.random.seed(seed)
+    return jax.random.key(seed)

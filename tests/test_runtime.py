@@ -154,3 +154,21 @@ class TestDonation:
             np.testing.assert_array_equal(value, copy)
         # and the trainer's post-fit params are NOT the donated objects
         assert trainer.params is not pre_params
+
+
+def test_set_seeds_contract():
+    """set_seeds mirrors the reference utility: numpy global stream
+    seeded (reference seed-draw compatibility) + a root JAX key back
+    (``/root/reference/utils/utils.py:6-20``)."""
+    import jax
+    import numpy as np
+
+    from decode_tonal_langauge_tpu.utils.seeding import set_seeds
+
+    key = set_seeds(123)
+    a = np.random.randint(0, 10000, 3)
+    set_seeds(123)
+    b = np.random.randint(0, 10000, 3)
+    np.testing.assert_array_equal(a, b)
+    k1, k2 = jax.random.split(key)
+    assert k1.shape == key.shape
