@@ -591,6 +591,85 @@ def bench_audio_codec(batch: int = 64, duration_s: float = 1.0,
     }
 
 
+def bench_serving(batch: int = 32, channels: int = 32, length: int = 200,
+                  n_tones: int = 4, n_sylls: int = 8):
+    """End-to-end decode (CNN syllable + CNN-RNN tone + SynthesisLite
+    mel, one jitted dispatch — ``serving.py``) at paper shapes.
+    Weights are random-init: latency is weight-agnostic. Reports the
+    jitted compute per batch via an N-iteration scan (the tunnel's
+    ~28 ms round trip would otherwise dominate single dispatches)."""
+    import jax
+    import jax.numpy as jnp
+
+    from decode_tonal_langauge_tpu.models.deep import (
+        CNNClassifier,
+        CNNRNNClassifier,
+    )
+    from decode_tonal_langauge_tpu.models.synthesis import SynthesisLite
+    from decode_tonal_langauge_tpu.serving import TonalDecoder
+
+    rng = np.random.default_rng(0)
+    n_tone_ch, n_syll_ch, n_non = 6, 6, channels - 12
+    mapping = {str(k): list(np.linspace(0, 1, 10)) for k in range(n_tones)}
+    mel_dim = 128 * 20
+
+    tone_model = CNNRNNClassifier(
+        input_channels=n_tone_ch, input_length=length, n_classes=n_tones
+    )
+    syll_model = CNNClassifier(
+        input_channels=n_syll_ch, input_length=length, n_classes=n_sylls
+    )
+    synth_model = SynthesisLite(
+        output_dim=mel_dim, n_channels=n_non, n_timepoints=length
+    )
+    x_t = jnp.asarray(
+        rng.standard_normal((batch, n_tone_ch, length)).astype(np.float32))
+    x_s = jnp.asarray(
+        rng.standard_normal((batch, n_syll_ch, length)).astype(np.float32))
+    x_n = jnp.asarray(
+        rng.standard_normal((batch, n_non, length)).astype(np.float32))
+    tone_vars = tone_model.init({"params": jax.random.key(0)}, x_t, train=False)
+    syll_vars = syll_model.init({"params": jax.random.key(1)}, x_s, train=False)
+    labels0 = jnp.zeros((1, 2, 10), dtype=jnp.float32)
+    synth_vars = synth_model.init(
+        {"params": jax.random.key(2)}, x_n[:1], labels0, train=False
+    )
+
+    dec = TonalDecoder(
+        tone_model, tone_vars, syll_model, syll_vars, mapping,
+        synthesis_model=synth_model, synthesis_variables=synth_vars,
+    )
+
+    n_runs = 20
+
+    @jax.jit
+    def run_n(x_t, x_s, x_n):
+        def step(carry, _):
+            # The carry feeds the inputs so XLA cannot hoist the
+            # loop-invariant decode out of the scan.
+            tones, sylls, _, _, mel = dec._decode_jit(
+                x_t + carry, x_s + carry, x_n + carry
+            )
+            return (mel.sum() + tones.sum() + sylls.sum()) * 1e-20, None
+
+        acc, _ = jax.lax.scan(
+            step, jnp.float32(0.0), None, length=n_runs
+        )
+        return acc
+
+    args = (x_t, x_s, x_n)
+    compiled = run_n.lower(*args).compile()
+    float(np.asarray(compiled(*args)))
+    overhead = _readback_overhead()
+    t0 = time.perf_counter()
+    float(np.asarray(compiled(*args)))
+    per_batch = max(time.perf_counter() - t0 - overhead, 1e-9) / n_runs
+    return {
+        "decode_batch_s": per_batch,
+        "decode_trials_per_s": batch / per_batch,
+    }
+
+
 def main():
     pre = bench_preprocess()
     stage = bench_preprocess_stage()
@@ -598,6 +677,7 @@ def main():
     rnn = bench_training_cnnrnn()
     synth = bench_training_synthesis()
     audio = bench_audio_codec()
+    serve = bench_serving()
 
     print(
         json.dumps(
@@ -637,6 +717,10 @@ def main():
                 "synthcnn_bf16_mfu": round(synth["synthcnn_bf16_mfu"], 4),
                 "mel_frames_per_s": round(audio["mel_frames_per_s"], 1),
                 "mel_vs_numpy_cpu": round(audio["mel_speedup"], 2),
+                "serving_decode_batch32_s": round(serve["decode_batch_s"], 5),
+                "serving_decode_trials_per_s": round(
+                    serve["decode_trials_per_s"], 1
+                ),
             }
         )
     )
