@@ -331,6 +331,93 @@ def train_torch_cnn(outputs, target: str = "syllable"):
     return accs, time.perf_counter() - t_start
 
 
+def train_torch_cnnrnn(outputs, target: str = "tone"):
+    """Torch CNN-RNN (this framework's semantics: time-major reshape
+    between the conv stack and the second LSTM — the reference's
+    NCHW-view scramble is deliberately not replicated on either side)
+    at matched data/splits/epochs. ~hours of CPU for 3 seeds."""
+    import torch
+    import torch.nn as nn
+
+    from decode_tonal_langauge_tpu.data.splits import split_indices
+
+    x, y, n_classes = _load_target_features(outputs, target)
+    b_, c, t = x.shape
+    lstm_dim = 800
+    assert lstm_dim % t == 0, (lstm_dim, t)
+
+    class TorchCNNRNN(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lstm1 = nn.LSTM(c, lstm_dim, batch_first=True)
+            self.conv1 = nn.Conv2d(1, 1024, (7, 1))
+            self.conv2 = nn.Conv2d(1, 1024, (7, 1))
+            self.conv3a = nn.Conv2d(1024, 512, (7, 1))
+            self.conv3b = nn.Conv2d(512, 256, (7, 1))
+            self.drop = nn.Dropout(0.5)
+            self.lstm2 = None  # built lazily once widths are known
+            self.head = None
+            self.n_classes = n_classes
+
+        def _conv_pool(self, img, conv):
+            img = torch.nn.functional.leaky_relu(conv(img), 0.01)
+            return torch.nn.functional.max_pool2d(img, (2, 1))
+
+        def forward(self, xb):
+            bsz = xb.shape[0]
+            seq = xb.permute(0, 2, 1)  # (B, T, C)
+            x1 = self.lstm1(seq)[0][:, -1, :]  # (B, lstm_dim)
+            raw = seq.unsqueeze(1)  # (B, 1, T, C)
+            raw = self._conv_pool(raw, self.conv1)
+            x1 = x1.reshape(bsz, 1, t, lstm_dim // t)
+            x1 = self._conv_pool(x1, self.conv2)
+            xf = torch.cat([x1, raw], dim=3)  # concat on width
+            yb = torch.nn.functional.leaky_relu(self.conv3a(xf), 0.01)
+            yb = torch.nn.functional.leaky_relu(self.conv3b(yb), 0.01)
+            yb = torch.nn.functional.max_pool2d(yb, (3, 1))
+            yb = self.drop(yb)
+            # (B, 256, t', w) -> time-major (B, t', w*256)
+            yb = yb.permute(0, 2, 3, 1).reshape(bsz, yb.shape[2], -1)
+            if self.lstm2 is None:
+                self.lstm2 = nn.LSTM(yb.shape[2], 512, batch_first=True)
+                self.head = nn.Linear(512, self.n_classes)
+            yb = self.lstm2(yb)[0][:, -1, :]
+            return torch.sigmoid(self.head(yb))
+
+    np.random.seed(42)
+    seeds = np.random.randint(0, 10000, len(SEEDS))
+    accs = []
+    t_start = time.perf_counter()
+    for seed in seeds:
+        tr, va, te = split_indices(x.shape[0], [0.7, 0.1, 0.2], seed=int(seed))
+        mu = x[tr].mean(axis=0, keepdims=True)
+        sd = x[tr].std(axis=0, keepdims=True) + 1e-6
+        xs = (x - mu) / sd
+        torch.manual_seed(int(seed))
+        model = TorchCNNRNN()
+        xt = torch.from_numpy(xs)
+        yt = torch.from_numpy(y)
+        model(xt[:2])  # materialize lazy modules before optimizer init
+        opt = torch.optim.NAdam(model.parameters(), lr=5e-4)
+        loss_fn = torch.nn.CrossEntropyLoss()
+        n = len(tr)
+        for epoch in range(EPOCHS):
+            perm = np.random.permutation(tr)
+            model.train()
+            for i in range(0, n, 16):
+                idx = perm[i: i + 16]
+                opt.zero_grad()
+                loss = loss_fn(model(xt[idx]), yt[idx])
+                loss.backward()
+                opt.step()
+        model.eval()
+        with torch.no_grad():
+            preds = model(xt[te]).argmax(dim=1).numpy()
+        accs.append(float((preds == y[te]).mean()))
+        print(f"torch CNN-RNN seed {seed}: acc={accs[-1]:.3f}", flush=True)
+    return accs, time.perf_counter() - t_start
+
+
 # ---------------------------------------------------------------------------
 def train_torch_synth(outputs, epochs: int = 60, predicted_labels=None):
     """Torch SynthesisLite at matched data/mels/splits/epochs.
@@ -591,8 +678,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/parity_work")
     ap.add_argument("--skip-torch-cnn", action="store_true")
+    ap.add_argument("--torch-cnnrnn", action="store_true",
+                    help="also run the matched torch CNN-RNN (~hours of CPU)")
     ap.add_argument("--only", default=None,
-                    help="comma list: pipeline,cnn,cnnrnn,synth,torch_cnn")
+                    help="comma list: pipeline,cnn,cnnrnn,synth,torch_cnn,"
+                         "torch_cnnrnn,torch_synth")
     ap.add_argument("--out", default=None, help="output JSON path")
     ap.add_argument("--noise-scale", type=float, default=1.0,
                     help="synthetic-subject noise amplitude; >1 makes the "
@@ -669,6 +759,13 @@ def main():
     if not args.skip_torch_cnn and wanted("torch_cnn"):
         accs, wall = train_torch_cnn(outputs)
         results["torch_cnn"] = {"accuracy_all": accs, "wall_s": wall}
+        save()
+
+    if (args.torch_cnnrnn or (only and "torch_cnnrnn" in only)) and wanted(
+        "torch_cnnrnn"
+    ):
+        accs, wall = train_torch_cnnrnn(outputs)
+        results["torch_cnnrnn"] = {"accuracy_all": accs, "wall_s": wall}
         save()
 
     if wanted("torch_synth"):
