@@ -342,6 +342,34 @@ def test_mesh_decode_matches_single_device(artifacts):
     assert sharded["mel"].shape[0] == N_TRIALS
 
 
+def test_cli_parallel_data_flag(artifacts, tmp_path):
+    """--parallel_data N builds the mesh through the CLI path and the
+    summary matches the single-device run."""
+    def decode(extra, sub):
+        out_dir = str(tmp_path / sub)
+        args = build_parser().parse_args([
+            "--sample_path", artifacts["sample_path"],
+            "--channel_file", artifacts["channel_file"],
+            "--config_file", artifacts["config_file"],
+            "--tone_model_name", "logistic",
+            "--tone_model_path", os.path.join(artifacts["root"], "tone_ckpt"),
+            "--syllable_model_name", "ShallowNN",
+            "--syllable_model_path", os.path.join(artifacts["root"], "syll_ckpt"),
+            "--output_dir", out_dir,
+        ] + extra)
+        return run(args), out_dir
+
+    single, d1 = decode([], "single")
+    sharded, d2 = decode(["--parallel_data", "8"], "sharded")
+    assert single["tone_accuracy"] == sharded["tone_accuracy"]
+    assert single["syllable_accuracy"] == sharded["syllable_accuracy"]
+    import csv as _csv
+
+    rows1 = list(_csv.DictReader(open(os.path.join(d1, "predictions.csv"))))
+    rows2 = list(_csv.DictReader(open(os.path.join(d2, "predictions.csv"))))
+    assert rows1 == rows2
+
+
 def test_unsorted_channel_file_matches_sorted(artifacts):
     """Training sorts channel subsets (sample handler); serving must
     decode identically for a hand-written unsorted channel file."""
