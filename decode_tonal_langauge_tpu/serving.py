@@ -165,6 +165,8 @@ class TonalDecoder:
 
         # With a mesh, pad the batch to a multiple of `data` and shard
         # the sample axis; padding rows are dropped from the outputs.
+        from .parallel.mesh import shard_batch
+
         pad = self._layout.round_batch(max(n, 1)) - n
         inputs = []
         for arr in (x_tone, x_syll, ecog_non):
@@ -172,20 +174,11 @@ class TonalDecoder:
                 arr = np.concatenate(
                     [arr, np.repeat(arr[-1:], pad, axis=0)], axis=0
                 )
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                from .parallel.mesh import global_device_put
-
-                arr = global_device_put(
-                    arr,
-                    NamedSharding(
-                        self.mesh, P("data", *([None] * (arr.ndim - 1)))
-                    ),
-                )
-            else:
-                arr = jnp.asarray(arr)
-            inputs.append(arr)
+            inputs.append(
+                shard_batch(self.mesh, arr)
+                if self.mesh is not None
+                else jnp.asarray(arr)
+            )
 
         tones, sylls, tone_probs, syll_probs, mel = self._decode_jit(*inputs)
         out = {

@@ -611,15 +611,13 @@ def train_label_classifiers(workdir: str, outputs):
 
     # Shared predicted labels for every trial (what the frozen
     # classifiers emit — the dynamics BOTH synthesis columns consume).
-    import json as _json
-
     from decode_tonal_langauge_tpu.serving import load_decoder
 
     with open(os.path.join(outputs["channel_selection"], "subject_1.json")) as f:
-        selections = _json.load(f)
+        selections = json.load(f)
     cfg_path = _synth_config_path(workdir)
     with open(cfg_path) as f:
-        dataset_config = _json.load(f)
+        dataset_config = json.load(f)
     data = np.load(os.path.join(outputs["sample_collection"], "subject_1.npz"))
     dec = load_decoder(
         selections, dataset_config, data["ecog"].shape[2],
