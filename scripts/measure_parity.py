@@ -534,6 +534,131 @@ def train_torch_synth(outputs, epochs: int = 60, predicted_labels=None):
     }
 
 
+def train_torch_synth_full(outputs, epochs: int = 30, predicted_labels=None):
+    """Torch SynthesisModelCNN (the paper's full synthesis model,
+    mirroring ``models/synthesis.py:SynthesisModelCNN``) at matched
+    data/mels/splits/epochs, consuming the same predicted dynamics."""
+    import torch
+    import torch.nn as nn
+
+    from decode_tonal_langauge_tpu.data.splits import split_indices
+    from decode_tonal_langauge_tpu.data.utils import (
+        select_non_discriminative_channels,
+        tone_dynamics_table,
+    )
+    from decode_tonal_langauge_tpu.models.synthesis import (
+        synthesis_cnn_latent_length,
+    )
+    from decode_tonal_langauge_tpu.training.synthesis_trainer import compute_mcd
+    from decode_tonal_langauge_tpu.utils.audio import audio_to_mel
+
+    data = np.load(os.path.join(outputs["sample_collection"], "subject_1.npz"))
+    with open(os.path.join(outputs["channel_selection"], "subject_1.json")) as f:
+        selections = json.load(f)
+    non_idx = select_non_discriminative_channels(
+        selections, ["tone_discriminative", "syllable_discriminative"]
+    )
+    ecog = data["ecog"][:, non_idx, :].astype(np.float32)
+    mels = np.stack(
+        [
+            audio_to_mel(
+                a, 8000,
+                mel_kwargs={"n_fft": 512, "hop_length": 256, "n_mels": 40},
+            )
+            for a in data["audio"]
+        ]
+    ).astype(np.float32)
+    mapping = {"0": [5, 5, 5], "1": [3, 4, 5], "2": [3, 2, 3], "3": [5, 3, 1]}
+    table, n_dyn = tone_dynamics_table(mapping)
+    if predicted_labels:
+        preds = np.load(predicted_labels)
+        tone_src, syll_src = preds["tone"], preds["syllable"]
+    else:
+        tone_src, syll_src = data["tone"], data["syllable"]
+    contour = table[tone_src.astype(int)]
+    labels = np.stack(
+        [
+            np.broadcast_to(
+                syll_src[:, None].astype(np.float32), contour.shape
+            ),
+            contour.astype(np.float32),
+        ],
+        axis=1,
+    )
+
+    c, t, out_dim = ecog.shape[1], ecog.shape[2], mels.shape[1]
+    latent_len = synthesis_cnn_latent_length(t)
+    lstm_ch = 6
+    lstm_size = latent_len * c * lstm_ch
+
+    class TorchSynthesisFull(nn.Module):
+        """models/synthesis.py:SynthesisModelCNN, NCHW."""
+
+        def __init__(self):
+            super().__init__()
+            widths = [(512, 3), (512, 3), (512, 3), (256, 1), (64, 1)]
+            self.ecog_convs = nn.ModuleList(
+                [nn.Conv2d(1 if i == 0 else widths[i - 1][0], w, (k, 1))
+                 for i, (w, k) in enumerate(widths)]
+            )
+            self.drop = nn.Dropout(0.5)
+            self.lstm = nn.LSTM(2, lstm_size, batch_first=True)
+            self.concat_convs = nn.ModuleList(
+                [nn.Conv2d(64 + lstm_ch if i == 0 else 128, 128, 1)
+                 for i in range(4)] + [nn.Conv2d(128, 64, 1)]
+            )
+            self.head = nn.Linear(latent_len * c * 64, out_dim)
+
+        def forward(self, e, l):
+            x = e.permute(0, 2, 1).unsqueeze(1)  # (B, 1, T, C)
+            for i, conv in enumerate(self.ecog_convs):
+                x = torch.nn.functional.leaky_relu(conv(x), 0.01)
+                if i != 4:
+                    x = torch.nn.functional.max_pool2d(x, (2, 1))
+            x = self.drop(x)  # (B, 64, latent_len, C)
+            x2 = self.lstm(l.transpose(1, 2))[0][:, -1, :]
+            x2 = x2.reshape(-1, latent_len, c, lstm_ch).permute(0, 3, 1, 2)
+            y = torch.cat([x, x2], dim=1)
+            for conv in self.concat_convs:
+                y = torch.nn.functional.leaky_relu(conv(y), 0.1)
+            return self.head(y.permute(0, 2, 3, 1).flatten(1))
+
+    np_rng = np.random.default_rng(42)
+    seeds = np_rng.integers(0, 10000, len(SEEDS))
+    mcds, rs = [], []
+    t_start = time.perf_counter()
+    for seed in seeds:
+        tr, te = split_indices(ecog.shape[0], [0.9, 0.1], seed=int(seed))
+        torch.manual_seed(int(seed))
+        model = TorchSynthesisFull()
+        opt = torch.optim.NAdam(model.parameters(), lr=5e-4, weight_decay=0.004)
+        loss_fn = nn.L1Loss()
+        et = torch.from_numpy(ecog)
+        lt = torch.from_numpy(labels)
+        mt = torch.from_numpy(mels)
+        for _ in range(epochs):
+            perm = np.random.permutation(tr)
+            model.train()
+            for i in range(0, len(tr), 16):
+                idx = perm[i: i + 16]
+                opt.zero_grad()
+                loss = loss_fn(model(et[idx], lt[idx]), mt[idx])
+                loss.backward()
+                opt.step()
+        model.eval()
+        with torch.no_grad():
+            recon = model(et[te], lt[te]).numpy()
+        mcds.append(compute_mcd(mels[te], recon))
+        rs.append(float(np.corrcoef(recon.ravel(), mels[te].ravel())[0, 1]))
+        print(f"torch synth-full seed {seed}: mcd={mcds[-1]:.1f} r={rs[-1]:.3f}",
+              flush=True)
+    return {
+        "mcd_mean": float(np.mean(mcds)),
+        "mel_pearson_r_mean": float(np.mean(rs)),
+        "wall_s": time.perf_counter() - t_start,
+    }
+
+
 def _synth_config_path(workdir: str) -> str:
     cfg_path = os.path.join(workdir, "synth_config.json")
     with open(cfg_path, "w") as f:
@@ -770,6 +895,13 @@ def main():
         pred = (results.get("label_classifiers") or {}).get("predicted_labels")
         results["torch_synth"] = train_torch_synth(
             outputs, predicted_labels=pred
+        )
+        save()
+
+    if wanted("torch_synth_full"):
+        pred = (results.get("label_classifiers") or {}).get("predicted_labels")
+        results["torch_synth_full"] = train_torch_synth_full(
+            outputs, epochs=EPOCHS, predicted_labels=pred
         )
         save()
 
