@@ -93,13 +93,13 @@ class SynthesisTrainer:
         table, _ = tone_dynamics_table(tone_dynamic_mapping)
         self.dynamics_table = jnp.asarray(table, dtype=jnp.float32)
 
+        # Unlike the classifiers (decay masked to ndim>=2 params,
+        # ``/root/reference/models/utils.py:5-18``), the reference's
+        # synthesizer decays EVERY parameter — plain torch
+        # ``NAdam(weight_decay=schedule_decay)``
+        # (``/root/reference/models/synthesis_trainer.py:131-136``).
         self.optimizer = optax.chain(
-            optax.add_decayed_weights(
-                schedule_decay,
-                mask=lambda params: jax.tree_util.tree_map(
-                    lambda p: p.ndim >= 2, params
-                ),
-            ),
+            optax.add_decayed_weights(schedule_decay),
             optax.nadam(learning_rate, b1=beta_1, b2=beta_2, eps=epsilon),
         )
 
