@@ -83,6 +83,16 @@ def mesh_from_config(parallel_cfg) -> Optional[Mesh]:
     if jax.process_count() > 1:
         from .distributed import global_mesh
 
+        if data * model != n_avail:
+            # A cross-host mesh must span every global device (lockstep
+            # SPMD); a partial mesh would reshape-crash deep inside
+            # global_mesh with an opaque error.
+            raise ValueError(
+                f"parallel: a multi-process mesh must use all "
+                f"{n_avail} global devices; got data={data} x "
+                f"model={model}. Set data: auto or match the device "
+                f"count."
+            )
         if model == 1:
             return global_mesh(("data",), (data,))
         return global_mesh(("data", "model"), (data, model))

@@ -137,7 +137,7 @@ def run(pipeline_params, io_params, io_module, preprocessor_module, modalities_c
                     io_module.save_block, setup_dir, subject_id, block_id, data_dict
                 )
             )
-            while len(pending) > 2:
+            while len(pending) >= 2:
                 pending.pop(0).result()  # propagate writer errors early
 
         for future in pending:

@@ -199,11 +199,20 @@ def _preprocess_signal_fused(data, steps: list, block_params: Namespace):
         # raises here — the caller falls back — and the final
         # signal_freq is known before the first real call.
         jax.eval_shape(chain, jax.ShapeDtypeStruct(data.shape, data.dtype))
-        cached = (fn, freq_out["final"])
+        cached = (fn, freq_out["final"], {"validated": False})
         _FUSED_CHAINS[key] = cached
 
-    fn, final_freq = cached
+    fn, final_freq, state = cached
     out = fn(data)
+    if not state["validated"]:
+        # Dispatch is async: an execution failure (e.g. scratch OOM)
+        # would otherwise surface later at the writer thread's
+        # materialization, past the caller's fallback handler. Fence the
+        # FIRST execution of each chain so runtime failures reach the
+        # cache-poisoning except clause; once a chain has run, later
+        # blocks skip the sync and keep load/compute overlap.
+        jax.block_until_ready(out)
+        state["validated"] = True
     block_params.signal_freq = final_freq  # observable contract of the
     # eager path: plugins update the namespace's rate as they run
     return out, final_freq

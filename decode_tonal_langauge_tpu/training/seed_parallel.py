@@ -16,10 +16,11 @@ ones (``tests/test_seed_parallel.py`` asserts this per seed).  The
 optax decay mask (``optim.decay_mask``) sees *unbatched* shapes inside
 vmap, so the ndim>=2 decay-group rule is unchanged.
 
-Multi-device: with a mesh whose ``data`` axis divides the number of
-seeds, the stacked seed axis is sharded over ``data`` — seeds are
-embarrassingly parallel, so GSPMD partitions the fit with zero
-collectives (the ideal use of the mesh for these small models).
+Multi-device: with a mesh, the stacked seed axis is padded to a
+multiple of ``data`` (duplicating the last seed; padded results are
+dropped) and sharded over it — seeds are embarrassingly parallel, so
+GSPMD partitions the fit with zero collectives (the ideal use of the
+mesh for these small models).
 """
 
 from __future__ import annotations
@@ -34,6 +35,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from .trainer import ClassifierTrainer, _stack_batches
+
+
+def _fetch(arr) -> np.ndarray:
+    """Device array -> host numpy, valid on cross-host meshes.
+
+    ``np.asarray`` on an array whose seed axis is sharded across hosts
+    raises (non-addressable shards); gather the global value first."""
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
 
 
 @lru_cache(maxsize=32)
@@ -133,13 +146,24 @@ class SeedParallelTrainer:
         if self.mesh is None:
             return None
         dp = int(self.mesh.shape.get("data", 1))
-        if dp <= 1 or n_seeds % dp != 0:
+        if dp <= 1:
+            return None
+        if n_seeds % dp != 0:
+            # The caller pads the seed axis to a dp multiple before
+            # placement (_pad_seed_axis); hitting this means an
+            # unpadded tree slipped through — run unsharded but say so.
+            print(
+                f"seed-parallel: {n_seeds} seeds not divisible by "
+                f"data={dp}; running unsharded on one device"
+            )
             return None
         return self.mesh
 
     def _place(self, tree):
         """Shard every leaf's leading (seed) axis over ``data`` if possible."""
-        mesh = self._seed_mesh(len(self.seeds))
+        mesh = self._seed_mesh(
+            np.shape(jax.tree_util.tree_leaves(tree)[0])[0]
+        )
         if mesh is None:
             return tree
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -173,21 +197,46 @@ class SeedParallelTrainer:
         assert train_x.shape[0] == S, (train_x.shape, S)
         B = proto.batch_size
 
+        # Pad the seed axis to a multiple of the mesh's data axis
+        # (duplicating the last seed) so the vmapped fit always shards;
+        # padded seeds' results are sliced off below.
+        dp = (
+            int(self.mesh.shape.get("data", 1))
+            if self.mesh is not None
+            else 1
+        )
+        S_pad = -(-S // dp) * dp
+        seeds_padded = self.seeds + [self.seeds[-1]] * (S_pad - S)
+
+        def pad_seed_axis(arr):
+            if S_pad == S:
+                return arr
+            return np.concatenate(
+                [arr, np.repeat(arr[-1:], S_pad - S, axis=0)], axis=0
+            )
+
+        train_x, train_y, val_x, val_y, test_x, test_y = (
+            pad_seed_axis(a)
+            for a in (train_x, train_y, val_x, val_y, test_x, test_y)
+        )
+
         def host_stack(xs, ys):
             """Per-seed _stack_batches, stacked on the seed axis."""
-            xb, yb, wb = zip(*(_stack_batches(xs[i], ys[i], B) for i in range(S)))
+            xb, yb, wb = zip(
+                *(_stack_batches(xs[i], ys[i], B) for i in range(S_pad))
+            )
             return np.stack(xb), np.stack(yb), np.stack(wb)
 
         vxb, vyb, vwb = host_stack(val_x, val_y)
         txb, tyb, twb = host_stack(train_x, train_y)
         # Flatten train batches back to one (S, N_pad, ...) block; the
         # per-epoch shuffle happens on device inside the fit scan.
-        x = txb.reshape((S, -1) + txb.shape[3:])
-        y = tyb.reshape((S, -1))
-        w = twb.reshape((S, -1))
+        x = txb.reshape((S_pad, -1) + txb.shape[3:])
+        y = tyb.reshape((S_pad, -1))
+        w = twb.reshape((S_pad, -1))
 
         seed_keys = jax.vmap(jax.random.key)(
-            jnp.asarray(self.seeds, dtype=jnp.uint32)
+            jnp.asarray(seeds_padded, dtype=jnp.uint32)
         )
 
         # _has_bn feeds the trainer's static jit key; resolve it once
@@ -218,17 +267,21 @@ class SeedParallelTrainer:
         _, _, preds = evaluate(
             params, batch_stats, *self._place((exb, eyb, ewb))
         )
-        preds = np.asarray(preds).reshape(S, -1)[:, : test_x.shape[1]]
+        preds = _fetch(preds).reshape(S_pad, -1)[:S, : test_x.shape[1]]
 
         tr_loss, tr_acc, w_norm, val_loss, val_acc, executed = (
-            np.asarray(m) for m in history
+            _fetch(m) for m in history
         )
-        best_epoch = np.asarray(best_epoch)
-        stopped = np.asarray(stopped)
+        best_epoch = _fetch(best_epoch)
+        stopped = _fetch(stopped)
+        # Per-seed param slices below are host reads too on a
+        # cross-host mesh: fetch the trees once.
+        params = jax.tree_util.tree_map(_fetch, params)
+        batch_stats = jax.tree_util.tree_map(_fetch, batch_stats)
 
         n_params = int(
             sum(np.size(leaf) for leaf in jax.tree_util.tree_leaves(params))
-        ) // max(S, 1)
+        ) // max(S_pad, 1)
 
         results: List[SeedFitResult] = []
         for i, seed in enumerate(self.seeds):

@@ -111,8 +111,14 @@ class SynthesisTrainer:
         # share the originals, so keying on the construction-time ids
         # keeps the jit cache shared across seeds (the replicated copies
         # hold identical values, so a cache hit is semantically safe).
+        # The dynamics table is REBUILT per trainer from the mapping, so
+        # keying on its id would defeat the cross-seed jit-cache sharing
+        # this key exists for (one make_trainer(seed) per repeat seed) —
+        # key on its content instead (tiny array). The variable/scaler
+        # objects ARE shared across per-seed trainers, so ids suffice.
         self._frozen_ids = (
-            id(tone_variables), id(syllable_variables), id(self.dynamics_table),
+            id(tone_variables), id(syllable_variables),
+            (table.shape, table.tobytes()),
             id(tone_scaler), id(syllable_scaler),
         )
         self._frozen_refs = (

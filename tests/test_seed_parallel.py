@@ -106,6 +106,47 @@ def test_seed_axis_sharded_over_mesh(rng):
             assert row_a["val/loss"] == pytest.approx(row_b["val/loss"], rel=2e-3)
 
 
+def test_seed_count_not_divisible_by_mesh_pads_and_matches(rng):
+    """Seeds (here 5) not divisible by the data axis (8): the seed axis
+    pads to a dp multiple, still shards, and results equal the
+    unsharded fit (padded seeds dropped)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    x, y = _make_data(rng, n=128)
+    seeds = [3, 17, 42, 101, 7]
+    stacks = _split_stacks(x, y, seeds)
+    mesh = make_mesh(8, axis_names=("data",))
+
+    model = LogisticRegressionClassifier(input_dim=12, n_classes=3)
+    par_meshed = SeedParallelTrainer(
+        model, n_classes=3, seeds=seeds, mesh=mesh, **HP
+    ).fit_eval(*stacks)
+    par_single = SeedParallelTrainer(
+        model, n_classes=3, seeds=seeds, **HP
+    ).fit_eval(*stacks)
+
+    assert len(par_meshed) == len(seeds)
+    for a, b in zip(par_meshed, par_single):
+        assert a.seed == b.seed
+        assert a.best_epoch == b.best_epoch
+        np.testing.assert_array_equal(a.test_preds, b.test_preds)
+        for row_a, row_b in zip(a.history, b.history):
+            assert row_a["val/loss"] == pytest.approx(
+                row_b["val/loss"], rel=2e-3
+            )
+
+
+def test_multiprocess_mesh_requires_all_devices(monkeypatch):
+    """A cross-host parallel: spec that doesn't span every global device
+    must fail loudly (a partial global mesh reshape-crashes deep inside
+    otherwise)."""
+    from decode_tonal_langauge_tpu.parallel import mesh as mesh_mod
+
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="all 8 global devices"):
+        mesh_mod.mesh_from_config({"data": 4})
+
+
 def test_pipeline_helper_parallel_vs_sequential(rng, tmp_path):
     """_fit_eval_all_seeds: the seed_parallel toggle must not change
     test predictions, and per-seed metrics.csv files must be written."""

@@ -260,3 +260,25 @@ class TestSeedParallelSynthesis:
                 assert l_p == pytest.approx(l_s, rel=2e-3, abs=1e-4)
                 assert m_p == pytest.approx(m_s, rel=2e-3)
             np.testing.assert_allclose(recon_p, recon_s, rtol=5e-2, atol=5e-3)
+
+
+def test_per_seed_trainers_share_jit_identity(rng):
+    """make_trainer(seed) per repeat seed rebuilds the dynamics table;
+    trainers must still compare equal (content-keyed) so the jitted fit
+    compiles once across seeds."""
+    from decode_tonal_langauge_tpu.models.synthesis import SynthesisLite
+    from decode_tonal_langauge_tpu.training.synthesis_trainer import (
+        SynthesisTrainer,
+    )
+
+    tone_vars, syll_vars = {"params": {}}, {"params": {}}
+
+    def make(seed):
+        return SynthesisTrainer(
+            SynthesisLite(output_dim=8, n_channels=2, n_timepoints=16),
+            None, tone_vars, None, syll_vars,
+            dict(TONE_MAPPING), seed=seed, verbose=False,
+        )
+
+    a, b = make(0), make(1)
+    assert a == b and hash(a) == hash(b)
