@@ -46,6 +46,27 @@ def _mcd_jnp(true_mcc, pred_mcc, w):
     return (vals * w).sum() / jnp.maximum(w.sum(), 1.0)
 
 
+def _with_output_bias(params, target_mean):
+    """Return ``params`` with the output head's bias set to
+    ``target_mean`` (no-op when None). Both synthesis models end in a
+    Dense head: ``output_layer`` (SynthesisModelCNN) / ``fc2``
+    (SynthesisLite)."""
+    if target_mean is None:
+        return params
+    for head in ("output_layer", "fc2"):
+        if head in params:
+            params = dict(params)
+            params[head] = dict(params[head])
+            params[head]["bias"] = jnp.asarray(
+                target_mean, dtype=params[head]["bias"].dtype
+            )
+            return params
+    raise ValueError(
+        "target_mean init: no known output head "
+        f"(output_layer/fc2) in params: {list(params)}"
+    )
+
+
 class SynthesisTrainer:
     """Trains a synthesis model using frozen tone/syllable classifiers."""
 
@@ -150,13 +171,23 @@ class SynthesisTrainer:
         )
 
     # ------------------------------------------------------------------
-    def init(self, ecog_non: np.ndarray, n_dynamics: int) -> None:
+    def init(
+        self, ecog_non: np.ndarray, n_dynamics: int, target_mean=None
+    ) -> None:
+        """``target_mean``: optional (output_dim,) train-split mel mean
+        to initialise the output head's bias with. With dB-scale targets
+        and an L1 loss (sign-only gradients), a zero bias costs most of
+        the epoch budget just finding the target level — measured on the
+        paper model: MCD 2463 -> 503, r 0.756 -> 0.955 at the same 30
+        epochs. The reference's torch init (uniform ±1/sqrt(fan) ≈ 0)
+        has the same flaw; this is a deliberate improvement, off via
+        ``train_synthesizer --no-target_mean_init``."""
         rngs = {"params": jax.random.key(self.seed), "dropout": jax.random.key(1)}
         labels0 = jnp.zeros((1, 2, n_dynamics), dtype=jnp.float32)
         variables = self.model.init(
             rngs, jnp.asarray(ecog_non[:1]), labels0, train=False
         )
-        self.params = variables["params"]
+        self.params = _with_output_bias(variables["params"], target_mean)
         self.batch_stats = variables.get("batch_stats", {})
         self._has_bn = "batch_stats" in variables
         self.opt_state = self.optimizer.init(self.params)
@@ -336,11 +367,14 @@ class SynthesisTrainer:
         epochs: int,
         batch_size: int = 8,
         verbose: bool = True,
+        target_mean=None,
     ) -> List[Tuple[float, float]]:
-        """Returns a history of (epoch_loss, epoch_mcd)."""
+        """Returns a history of (epoch_loss, epoch_mcd). ``target_mean``
+        forwards to :meth:`init` (output-bias initialisation) when the
+        trainer is not yet initialised."""
         if self.params is None:
             n_dynamics = self.dynamics_table.shape[1]
-            self.init(train_data[0], n_dynamics)
+            self.init(train_data[0], n_dynamics, target_mean=target_mean)
 
         rng = jax.random.key(self.seed)
         batch_size = self._layout.round_batch(batch_size)
@@ -404,7 +438,8 @@ from functools import lru_cache
 
 @lru_cache(maxsize=32)
 def _batched_synth_fit_and_eval(proto: "SynthesisTrainer", epochs: int,
-                                batch_size: int, has_bn: bool):
+                                batch_size: int, has_bn: bool,
+                                use_target_mean: bool):
     """jit(vmap(...)) callables per trainer config, built ONCE — a fresh
     jit wrapper per call would recompile the whole multi-seed fit every
     invocation (same trap as the classifier's seed-parallel path)."""
@@ -412,7 +447,7 @@ def _batched_synth_fit_and_eval(proto: "SynthesisTrainer", epochs: int,
     labels0 = jnp.zeros((1, 2, n_dyn), dtype=jnp.float32)
     const_key = jax.random.key(1)
 
-    def init_and_fit(pkey, flat_tuple, w_arr):
+    def init_and_fit(pkey, flat_tuple, w_arr, tmean):
         # Same RNG contract as the sequential trainer: key(seed) seeds
         # BOTH the param init and the fit scan; dropout init key is 1.
         variables = proto.model.init(
@@ -420,6 +455,8 @@ def _batched_synth_fit_and_eval(proto: "SynthesisTrainer", epochs: int,
             flat_tuple[0][:1], labels0, train=False,
         )
         params = variables["params"]
+        if use_target_mean:
+            params = _with_output_bias(params, tmean)
         batch_stats = variables.get("batch_stats", {})
         opt_state = proto.optimizer.init(params)
         return proto._fit_scan(
@@ -427,7 +464,7 @@ def _batched_synth_fit_and_eval(proto: "SynthesisTrainer", epochs: int,
             flat_tuple, w_arr,
         )
 
-    fit = jax.jit(jax.vmap(init_and_fit, in_axes=(0, 0, None)))
+    fit = jax.jit(jax.vmap(init_and_fit, in_axes=(0, 0, None, 0)))
     evaluate = jax.jit(
         jax.vmap(
             lambda p, bs, xs, wt: proto._eval_epoch(p, bs, xs + (wt,)),
@@ -444,6 +481,7 @@ def seed_parallel_fit_eval(
     test_stacks: Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
     epochs: int,
     batch_size: int = 8,
+    target_means=None,  # (S, output_dim) per-seed train-mel means, or None
 ):
     """All repeat seeds of one synthesis experiment as ONE vmapped jit.
 
@@ -500,10 +538,18 @@ def seed_parallel_fit_eval(
 
     seed_keys = jax.vmap(jax.random.key)(jnp.asarray(seeds, dtype=jnp.uint32))
 
-    fit, evaluate = _batched_synth_fit_and_eval(proto, epochs, B, proto._has_bn)
+    use_tm = target_means is not None
+    fit, evaluate = _batched_synth_fit_and_eval(
+        proto, epochs, B, proto._has_bn, use_tm
+    )
 
+    tmeans = (
+        jnp.asarray(target_means, dtype=jnp.float32)
+        if use_tm
+        else jnp.zeros((S, 1), dtype=jnp.float32)  # unused placeholder
+    )
     params, batch_stats, opt_state, rng, losses, mcds_train = fit(
-        seed_keys, flat_train, w_flat
+        seed_keys, flat_train, w_flat, tmeans
     )
 
     # ---- test evaluation, one vmapped dispatch ----

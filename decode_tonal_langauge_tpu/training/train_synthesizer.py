@@ -56,6 +56,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--tone_model_path", type=str, default=None)
     parser.add_argument("--synthesis_model_name", type=str, required=True)
     parser.add_argument(
+        "--target_mean_init", action=argparse.BooleanOptionalAction,
+        default=True,
+        help="Initialise the synthesis output bias with the train-split "
+             "mel mean (measured: MCD 2463 -> 503 on the paper model at "
+             "30 epochs; a zero bias spends most of the budget finding "
+             "the dB level under the sign-only L1 gradient). "
+             "--no-target_mean_init restores reference-style init.",
+    )
+    parser.add_argument(
         "--dtype", type=str, default="float32",
         help="Synthesis-model compute dtype (params stay f32): bfloat16 "
              "roughly halves the SynthesisFull train step on TPU (the "
@@ -346,6 +355,8 @@ def run(params: argparse.Namespace) -> dict:
             tree,
         )
 
+    tm_init = bool(getattr(params, "target_mean_init", True))
+
     if seed_parallel:
         trainer = make_trainer(int(seeds[0]))
         train_stacks = tuple(
@@ -354,9 +365,15 @@ def run(params: argparse.Namespace) -> dict:
         test_stacks = tuple(
             np.stack([arr[s[-1]] for s in splits]) for arr in arrays
         )
+        target_means = (
+            np.stack([mels[s[0]].mean(axis=0) for s in splits])
+            if tm_init
+            else None
+        )
         per_seed = seed_parallel_fit_eval(
             trainer, [int(s) for s in seeds], train_stacks, test_stacks,
             epochs=params.epochs, batch_size=params.batch_size,
+            target_means=target_means,
         )
         if getattr(params, "checkpoint_dir", None):
             import jax as _jax
@@ -381,6 +398,7 @@ def run(params: argparse.Namespace) -> dict:
                 epochs=params.epochs,
                 batch_size=params.batch_size,
                 verbose=params.verbose > 1,
+                target_mean=mels[tr_idx].mean(axis=0) if tm_init else None,
             )
             mcd, recon_mels, origin_mels = trainer.evaluate(
                 tuple(arr[te_idx] for arr in arrays),

@@ -282,3 +282,89 @@ def test_per_seed_trainers_share_jit_identity(rng):
 
     a, b = make(0), make(1)
     assert a == b and hash(a) == hash(b)
+
+
+def test_target_mean_init_parity_and_benefit(rng):
+    """Output-bias = train-mel-mean init: the vmapped multi-seed path
+    must match the sequential path with the same init, and the first
+    training epochs must start from a far lower loss than zero-bias
+    init (the measured MCD 2463->503 effect at production shapes)."""
+    import jax
+
+    from decode_tonal_langauge_tpu.data.splits import split_indices
+    from decode_tonal_langauge_tpu.models.simple import (
+        LogisticRegressionClassifier,
+    )
+    from decode_tonal_langauge_tpu.training.synthesis_trainer import (
+        SynthesisTrainer,
+        seed_parallel_fit_eval,
+    )
+
+    ecog_non, ecog_syll, ecog_tone, mels, _, _ = _toy_synthesis_data(rng)
+    mels = mels - 30.0  # dB-scale offset: makes the bias matter
+    c_cls, t = ecog_syll.shape[1], ecog_syll.shape[2]
+    tone_model = LogisticRegressionClassifier(input_dim=c_cls * t, n_classes=4)
+    syll_model = LogisticRegressionClassifier(input_dim=c_cls * t, n_classes=2)
+    tone_vars = tone_model.init(
+        {"params": jax.random.key(0)}, ecog_tone[:1], train=False
+    )
+    syll_vars = syll_model.init(
+        {"params": jax.random.key(1)}, ecog_syll[:1], train=False
+    )
+    arrays = (ecog_non, ecog_syll, ecog_tone, mels)
+    seeds = [5, 11]
+    splits = [
+        split_indices(ecog_non.shape[0], [0.8, 0.2], seed=s) for s in seeds
+    ]
+
+    def make_trainer(seed):
+        model = SynthesisLite(
+            output_dim=mels.shape[1], n_channels=ecog_non.shape[1],
+            n_timepoints=t,
+        )
+        return SynthesisTrainer(
+            model, tone_model, tone_vars, syll_model, syll_vars,
+            TONE_MAPPING, learning_rate=2e-3, seed=seed, verbose=False,
+        )
+
+    target_means = np.stack([mels[s[0]].mean(axis=0) for s in splits])
+
+    # sequential with target-mean init
+    seq = []
+    for (seed, (tr, te)), tm in zip(zip(seeds, splits), target_means):
+        trainer = make_trainer(seed)
+        hist = trainer.train(
+            tuple(a[tr] for a in arrays), epochs=3, batch_size=8,
+            verbose=False, target_mean=tm,
+        )
+        mcd, _, _ = trainer.evaluate(
+            tuple(a[te] for a in arrays), batch_size=8
+        )
+        seq.append((hist, mcd))
+
+    # zero-bias sequential baseline (for the benefit assertion)
+    base_trainer = make_trainer(seeds[0])
+    base_hist = base_trainer.train(
+        tuple(a[splits[0][0]] for a in arrays), epochs=3, batch_size=8,
+        verbose=False,
+    )
+    assert seq[0][0][0][0] < 0.5 * base_hist[0][0], (
+        "target-mean init should start far below the zero-bias loss"
+    )
+
+    # vmapped path with the same init
+    proto = make_trainer(seeds[0])
+    train_stacks = tuple(
+        np.stack([a[s[0]] for s in splits]) for a in arrays
+    )
+    test_stacks = tuple(
+        np.stack([a[s[-1]] for s in splits]) for a in arrays
+    )
+    par = seed_parallel_fit_eval(
+        proto, seeds, train_stacks, test_stacks, epochs=3, batch_size=8,
+        target_means=target_means,
+    )
+    for (hist_s, mcd_s), (hist_p, mcd_p, _, _) in zip(seq, par):
+        assert mcd_p == pytest.approx(mcd_s, rel=2e-3)
+        for (l_s, m_s), (l_p, m_p) in zip(hist_s, hist_p):
+            assert l_p == pytest.approx(l_s, rel=2e-3, abs=1e-4)
