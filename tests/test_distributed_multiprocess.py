@@ -53,10 +53,10 @@ print("WORKER_OK", jax.process_index())
 """
 
 
-def test_two_process_initialize_and_collective(tmp_path):
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-    # Free port for the coordinator.
+def _run_two_process_smoke(repo_root):
+    """One attempt: returns (outs, timed_out). The free-port pattern has
+    an inherent race (the port is released before the coordinator binds
+    it) and a loaded host can starve the rendezvous — callers retry."""
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
@@ -98,10 +98,27 @@ def test_two_process_initialize_and_collective(tmp_path):
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
-            pytest.fail("2-process smoke test timed out (coordinator hang?)")
+            return None, True
         outs.append((p.returncode, out, err))
+    return outs, False
 
-    for rc, out, err in outs:
-        assert rc == 0, f"worker failed (rc={rc}):\n{out}\n{err}"
+
+def test_two_process_initialize_and_collective(tmp_path):
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    last = None
+    for attempt in range(2):
+        outs, timed_out = _run_two_process_smoke(repo_root)
+        if timed_out:
+            last = "timed out (coordinator hang?)"
+            continue
+        if all(rc == 0 for rc, _, _ in outs):
+            break
+        last = "\n".join(
+            f"worker rc={rc}:\n{out}\n{err}" for rc, out, err in outs
+        )
+    else:
+        pytest.fail(f"2-process smoke failed twice; last: {last}")
+
     assert "WORKER_OK 0" in outs[0][1] + outs[1][1]
     assert "WORKER_OK 1" in outs[0][1] + outs[1][1]
