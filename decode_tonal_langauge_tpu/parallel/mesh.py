@@ -117,6 +117,18 @@ def global_device_put(arr, sharding: NamedSharding):
     )
 
 
+def fetch_global(arr) -> np.ndarray:
+    """Device array -> host numpy, valid on cross-host meshes.
+
+    ``np.asarray`` on an array with shards on other hosts raises
+    (non-addressable); gather the global value first."""
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+
 def shard_batch(mesh: Mesh, arr, axis: str = "data"):
     """Place ``arr`` with its leading dim sharded over ``axis``."""
     spec = P(axis, *([None] * (np.ndim(arr) - 1)))

@@ -147,6 +147,11 @@ class TonalDecoder:
         # subsets, so checkpointed weights and scaler rows are laid out
         # in ascending channel order.
         n = ecog_samples.shape[0]
+        if n == 0:
+            raise ValueError(
+                "decode() received zero trials — the ecog array in the "
+                "sample npz is empty."
+            )
         x_tone = np.asarray(
             ecog_samples[:, sorted(channel_selections["tone_discriminative"]), :],
             dtype=np.float32,
@@ -165,9 +170,9 @@ class TonalDecoder:
 
         # With a mesh, pad the batch to a multiple of `data` and shard
         # the sample axis; padding rows are dropped from the outputs.
-        from .parallel.mesh import shard_batch
+        from .parallel.mesh import fetch_global, shard_batch
 
-        pad = self._layout.round_batch(max(n, 1)) - n
+        pad = self._layout.round_batch(n) - n
         inputs = []
         for arr in (x_tone, x_syll, ecog_non):
             if pad:
@@ -181,14 +186,16 @@ class TonalDecoder:
             )
 
         tones, sylls, tone_probs, syll_probs, mel = self._decode_jit(*inputs)
+        # fetch_global: a cross-host data mesh leaves these sharded with
+        # non-addressable pieces, where plain np.asarray raises.
         out = {
-            "tone": np.asarray(tones)[:n],
-            "syllable": np.asarray(sylls)[:n],
-            "tone_probs": np.asarray(tone_probs)[:n],
-            "syllable_probs": np.asarray(syll_probs)[:n],
+            "tone": fetch_global(tones)[:n],
+            "syllable": fetch_global(sylls)[:n],
+            "tone_probs": fetch_global(tone_probs)[:n],
+            "syllable_probs": fetch_global(syll_probs)[:n],
         }
         if mel is not None:
-            out["mel"] = np.asarray(mel)[:n]
+            out["mel"] = fetch_global(mel)[:n]
         return out
 
     def synthesize_wavs(
@@ -319,6 +326,23 @@ def load_decoder(
     )
 
 
+def _mel_dim_from_checkpoint(path: str) -> Optional[int]:
+    """Synthesizer output dim from a checkpoint's head-bias shape.
+
+    Both synthesis models end in a Dense head — ``output_layer``
+    (SynthesisModelCNN) / ``fc2`` (SynthesisLite); its bias length IS the
+    flattened mel dim. Custom models without a known head return None and
+    the caller falls back to config/audio probes."""
+    from .runtime.checkpoint import load_params
+
+    restored = load_params(path)
+    params = restored.get("params", restored)
+    for head in ("output_layer", "fc2"):
+        if head in params and "bias" in params[head]:
+            return int(np.asarray(params[head]["bias"]).shape[0])
+    return None
+
+
 # ----------------------------------------------------------------------
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -374,13 +398,27 @@ def run(params: argparse.Namespace) -> Dict[str, Any]:
     mel_kwargs = dict(dataset_config.get("mel_kwargs", {}))
     mel_dim = None
     if params.synthesis_model_name:
-        # The synthesizer's output dim comes from the training mels
-        # (audio_to_mel returns the flattened n_mels * n_frames vector).
-        probe = audio_to_mel(
-            dataset["audio"][0], params.audio_sampling_rate,
-            mel_kwargs=mel_kwargs,
-        )
-        mel_dim = int(probe.size)
+        # The synthesizer's output dim: checkpoint head-bias shape first
+        # (always present, no audio needed — NEW epochs being decoded
+        # won't carry ground-truth audio), then an explicit dataset
+        # config field, then a probe of the training audio if the npz
+        # happens to include it.
+        mel_dim = _mel_dim_from_checkpoint(params.synthesis_model_path)
+        if mel_dim is None:
+            mel_dim = dataset_config.get("mel_dim")
+        if mel_dim is None and "audio" in dataset:
+            probe = audio_to_mel(
+                dataset["audio"][0], params.audio_sampling_rate,
+                mel_kwargs=mel_kwargs,
+            )
+            mel_dim = int(probe.size)
+        if mel_dim is None:
+            raise ValueError(
+                "could not determine the synthesizer output dim: the "
+                "checkpoint has no known output head (output_layer/fc2), "
+                "the config has no mel_dim field, and the sample npz "
+                "carries no audio to probe."
+            )
 
     from .parallel.mesh import mesh_from_config
 

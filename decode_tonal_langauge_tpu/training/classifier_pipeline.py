@@ -84,8 +84,21 @@ def _fit_and_eval(
         classifier_kwargs=getattr(params, "model_kwargs", {}) or {},
     )
     trainer = _make_trainer(params, model, n_classes, seed, log_dir)
+    # Full train-state checkpointing (SURVEY §5): training.params.training
+    # keys train_state_dir / resume / checkpoint_every.
+    ts_dir = getattr(params, "train_state_dir", None)
     trainer.fit(
-        features[tr_idx], labels[tr_idx], features[va_idx], labels[va_idx]
+        features[tr_idx], labels[tr_idx], features[va_idx], labels[va_idx],
+        checkpoint_dir=(
+            os.path.join(
+                ts_dir,
+                f"{'_'.join(params.targets)}_{params.model_name}_seed_{seed}",
+            )
+            if ts_dir
+            else None
+        ),
+        resume=bool(getattr(params, "resume", False)),
+        checkpoint_every=getattr(params, "checkpoint_every", None),
     )
     trainer.test(features[te_idx], labels[te_idx])
     preds = trainer.predict(features[te_idx])
@@ -139,7 +152,15 @@ def _fit_eval_all_seeds(
     labels = labels.astype(np.int32)
     seeds = [int(s) for s in seeds]
 
-    if not (getattr(params, "seed_parallel", True) and len(seeds) > 1):
+    # train_state_dir (full-state checkpoint/resume) forces the
+    # sequential per-seed path: the vmapped multi-seed fit has no
+    # per-seed resume granularity.
+    use_seed_parallel = (
+        getattr(params, "seed_parallel", True)
+        and len(seeds) > 1
+        and not getattr(params, "train_state_dir", None)
+    )
+    if not use_seed_parallel:
         out: List[SeedFitResult] = []
         for seed in seeds:
             true, preds, trainer, scaler = _fit_and_eval(

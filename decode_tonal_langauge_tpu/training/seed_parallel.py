@@ -34,19 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..parallel.mesh import fetch_global as _fetch
 from .trainer import ClassifierTrainer, _stack_batches
-
-
-def _fetch(arr) -> np.ndarray:
-    """Device array -> host numpy, valid on cross-host meshes.
-
-    ``np.asarray`` on an array whose seed axis is sharded across hosts
-    raises (non-addressable shards); gather the global value first."""
-    if getattr(arr, "is_fully_addressable", True):
-        return np.asarray(arr)
-    from jax.experimental import multihost_utils
-
-    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
 
 
 @lru_cache(maxsize=32)
@@ -258,7 +247,8 @@ class SeedParallelTrainer:
         # into the fit scan — exactly ClassifierTrainer.init + fit, which
         # use jax.random.key(seed) for both.
         fitted = fit(seed_keys, *self._place((x, y, w, vxb, vyb, vwb)))
-        params, batch_stats, opt_state, rng, best_epoch, stopped, history = fitted
+        params, batch_stats, opt_state, rng, es, history = fitted
+        _, best_epoch, _, stopped = es
 
         # Test predictions for every seed in one vmapped eval.
         exb, eyb, ewb = host_stack(

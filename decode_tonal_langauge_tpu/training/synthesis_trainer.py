@@ -20,7 +20,7 @@ TPU-native differences:
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -209,6 +209,14 @@ class SynthesisTrainer:
         )
 
     # ------------------------------------------------------------------
+    # The frozen classifiers are applied with train=False, so their
+    # predictions are CONSTANTS of the fit: they depend only on the
+    # (fixed) tone/syllable ECoG inputs, never on the synthesis params.
+    # The reference recomputes them per batch of every epoch
+    # (``/root/reference/models/synthesis_trainer.py:207-218``); here
+    # they run ONCE per fit (`_predict_flat`) and the fit scan gathers
+    # the precomputed (N, 2, n_dynamics) dynamics by the epoch
+    # permutation — a 30-epoch fit saves 30x the classifier FLOPs.
     def _predict_labels(self, x_tone, x_syll):
         """Frozen classifier predictions -> on-device label dynamics."""
         if self.tone_scaler is not None:
@@ -228,6 +236,11 @@ class SynthesisTrainer:
             sylls[:, None].astype(jnp.float32), contour.shape
         )
         return jnp.stack([syll_seq, contour], axis=1)  # (B, 2, n_dynamics)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _predict_flat(self, x_tone, x_syll):
+        """One-dispatch label dynamics for a flat (N, C, T) set."""
+        return self._predict_labels(x_tone, x_syll)
 
     def _apply_model(self, params, batch_stats, ecog, labels, train, rng):
         variables = {"params": params}
@@ -255,9 +268,8 @@ class SynthesisTrainer:
     def _train_epoch_inner(self, params, batch_stats, opt_state, rng, batches):
         def step(carry, batch):
             params, batch_stats, opt_state, rng = carry
-            x_non, x_syll, x_tone, targets, w = batch
+            x_non, labels, targets, w = batch
             rng, dropout_rng = jax.random.split(rng)
-            labels = self._predict_labels(x_tone, x_syll)
 
             def loss_fn(p, bs):
                 out, new_bs = self._apply_model(
@@ -283,8 +295,7 @@ class SynthesisTrainer:
     @partial(jax.jit, static_argnums=(0,))
     def _eval_epoch(self, params, batch_stats, batches):
         def step(_, batch):
-            x_non, x_syll, x_tone, targets, w = batch
-            labels = self._predict_labels(x_tone, x_syll)
+            x_non, labels, targets, w = batch
             out, _ = self._apply_model(params, batch_stats, x_non, labels, False, None)
             mcd = _mcd_jnp(targets, out, w)
             return None, (mcd, out)
@@ -293,28 +304,24 @@ class SynthesisTrainer:
         return mcds.mean(), outs
 
     # ------------------------------------------------------------------
-    def _stack(self, data, batch_size):
-        """data: (x_non, x_syll, x_tone, mels) -> padded batch stacks."""
+    def _stack(self, arrays, batch_size):
+        """Pad each array in ``arrays`` to a batch multiple and reshape
+        to (n_batches, B, ...) stacks; appends the per-sample weight
+        stack that masks the padding."""
         batch_size = self._layout.round_batch(batch_size)
-        x_non, x_syll, x_tone, mels = data
-        n = x_non.shape[0]
+        n = arrays[0].shape[0]
         _, _, w = _stack_batches(
             np.zeros((n, 1)), np.zeros(n, dtype=np.int32), batch_size
         )
 
         def stack(arr):
+            arr = np.asarray(arr, dtype=np.float32)
             pad = w.size - n
             if pad:
                 arr = np.concatenate([arr, np.repeat(arr[:1], pad, axis=0)], axis=0)
             return arr.reshape((w.shape[0], w.shape[1]) + arr.shape[1:])
 
-        batches = (
-            stack(x_non.astype(np.float32)),
-            stack(x_syll.astype(np.float32)),
-            stack(x_tone.astype(np.float32)),
-            stack(mels.astype(np.float32)),
-            w,
-        )
+        batches = tuple(stack(a) for a in arrays) + (w,)
         return self._layout.place_stacks(*batches)
 
     # Donation: see ClassifierTrainer._fit_scan — the caller reassigns
@@ -361,6 +368,47 @@ class SynthesisTrainer:
         )
         return params, batch_stats, opt_state, rng, losses, mcds
 
+    # Full train-state checkpointing — same contract as
+    # ClassifierTrainer._save_train_state/_restore_train_state (SURVEY
+    # §5; tests/test_resume.py): the whole fit-scan carry round-trips,
+    # so a resumed synthesis fit continues the uninterrupted trajectory.
+    def _save_train_state(self, path, rng, epochs_done, history) -> None:
+        from ..runtime.checkpoint import save_train_state
+
+        state = {
+            "params": self.params,
+            "opt_state": list(jax.tree_util.tree_leaves(self.opt_state)),
+            "rng": jax.random.key_data(rng),
+            "epochs_done": np.int32(epochs_done),
+            "history": np.asarray(history, np.float32),
+        }
+        if self._has_bn:
+            state["batch_stats"] = self.batch_stats
+        save_train_state(path, state)
+
+    def _restore_train_state(self, path):
+        from ..runtime.checkpoint import load_params, train_state_exists
+
+        if not train_state_exists(path):
+            return None
+        restored = load_params(path)
+        put = self._layout.replicate_tree
+        self.params = put(restored["params"])
+        if "batch_stats" in restored:
+            self.batch_stats = put(restored["batch_stats"])
+            self._has_bn = True
+        self.opt_state = put(
+            jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(self.opt_state),
+                restored["opt_state"],
+            )
+        )
+        rng = jax.random.wrap_key_data(
+            jnp.asarray(restored["rng"], dtype=jnp.uint32)
+        )
+        history = np.asarray(restored["history"], np.float32).reshape(-1, 2)
+        return rng, int(restored["epochs_done"]), history
+
     def train(
         self,
         train_data: Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
@@ -368,15 +416,29 @@ class SynthesisTrainer:
         batch_size: int = 8,
         verbose: bool = True,
         target_mean=None,
+        checkpoint_dir: Optional[str] = None,
+        resume: bool = False,
+        checkpoint_every: Optional[int] = None,
     ) -> List[Tuple[float, float]]:
         """Returns a history of (epoch_loss, epoch_mcd). ``target_mean``
         forwards to :meth:`init` (output-bias initialisation) when the
-        trainer is not yet initialised."""
+        trainer is not yet initialised.
+
+        ``checkpoint_dir``/``resume``/``checkpoint_every``: full
+        train-state checkpointing, as :meth:`ClassifierTrainer.fit`
+        (``epochs`` counts TOTAL epochs across original fit + resume)."""
         if self.params is None:
             n_dynamics = self.dynamics_table.shape[1]
             self.init(train_data[0], n_dynamics, target_mean=target_mean)
 
         rng = jax.random.key(self.seed)
+        epochs_done = 0
+        history_arr = np.zeros((0, 2), dtype=np.float32)
+        if checkpoint_dir and resume:
+            restored = self._restore_train_state(checkpoint_dir)
+            if restored is not None:
+                rng, epochs_done, history_arr = restored
+
         batch_size = self._layout.round_batch(batch_size)
 
         # Flatten once to padded (N_pad, ...) blocks; per-epoch shuffling
@@ -397,21 +459,46 @@ class SynthesisTrainer:
         flat_data = tuple(flat(a) for a in train_data)
         w_flat = self._layout.replicate_tree(w.reshape(-1))
 
-        (
-            self.params,
-            self.batch_stats,
-            self.opt_state,
-            rng,
-            losses,
-            mcds,
-        ) = self._fit_scan(
-            epochs, batch_size,
-            self.params, self.batch_stats, self.opt_state, rng,
-            flat_data, w_flat,
+        # Frozen-classifier dynamics: ONE dispatch over the padded set,
+        # then a constant of the fit (gathered by the epoch permutation
+        # inside _fit_scan). The brief host round trip keeps its layout
+        # identical to the other flats under a (possibly cross-host)
+        # mesh; the array is tiny (N, 2, n_dynamics).
+        labels_flat = self._layout.replicate_tree(
+            np.asarray(self._predict_flat(flat_data[2], flat_data[1]))
         )
+        fit_inputs = (flat_data[0], labels_flat, flat_data[3])
 
-        losses, mcds = np.asarray(losses), np.asarray(mcds)
-        history = [(float(l), float(m)) for l, m in zip(losses, mcds)]
+        seg_size = (
+            int(checkpoint_every)
+            if (checkpoint_dir and checkpoint_every)
+            else epochs
+        )
+        while epochs_done < epochs:
+            seg = min(seg_size, epochs - epochs_done)
+            (
+                self.params,
+                self.batch_stats,
+                self.opt_state,
+                rng,
+                losses,
+                mcds,
+            ) = self._fit_scan(
+                seg, batch_size,
+                self.params, self.batch_stats, self.opt_state, rng,
+                fit_inputs, w_flat,
+            )
+            chunk = np.stack(
+                [np.asarray(losses), np.asarray(mcds)], axis=1
+            ).astype(np.float32)
+            history_arr = np.concatenate([history_arr, chunk])
+            epochs_done += seg
+            if checkpoint_dir:
+                self._save_train_state(
+                    checkpoint_dir, rng, epochs_done, history_arr
+                )
+
+        history = [(float(l), float(m)) for l, m in history_arr]
         if verbose:
             for epoch, (loss, mcd) in enumerate(history):
                 print(
@@ -426,7 +513,14 @@ class SynthesisTrainer:
         batch_size: int = 8,
     ) -> Tuple[float, np.ndarray, np.ndarray]:
         """Returns (mcd, recon_mels, origin_mels)."""
-        batches = self._stack(test_data, batch_size)
+        x_non, x_syll, x_tone, mels = test_data
+        labels = np.asarray(
+            self._predict_flat(
+                self._layout.replicate_tree(np.asarray(x_tone, np.float32)),
+                self._layout.replicate_tree(np.asarray(x_syll, np.float32)),
+            )
+        )
+        batches = self._stack((x_non, labels, mels), batch_size)
         mcd, outs = self._eval_epoch(self.params, self.batch_stats, batches)
         n = test_data[0].shape[0]
         recon = np.asarray(outs).reshape((-1,) + outs.shape[2:])[:n]
@@ -459,18 +553,25 @@ def _batched_synth_fit_and_eval(proto: "SynthesisTrainer", epochs: int,
             params = _with_output_bias(params, tmean)
         batch_stats = variables.get("batch_stats", {})
         opt_state = proto.optimizer.init(params)
+        # Frozen-classifier dynamics once per fit (constants of the fit;
+        # the epoch scan gathers them by permutation).
+        labels = proto._predict_labels(flat_tuple[2], flat_tuple[1])
         return proto._fit_scan(
             epochs, batch_size, params, batch_stats, opt_state, pkey,
-            flat_tuple, w_arr,
+            (flat_tuple[0], labels, flat_tuple[3]), w_arr,
         )
 
+    def eval_one(p, bs, xs, wt):
+        x_non, x_syll, x_tone, mels = xs
+        nb, bsz = x_tone.shape[0], x_tone.shape[1]
+        labels = proto._predict_labels(
+            x_tone.reshape((nb * bsz,) + x_tone.shape[2:]),
+            x_syll.reshape((nb * bsz,) + x_syll.shape[2:]),
+        ).reshape((nb, bsz, 2, -1))
+        return proto._eval_epoch(p, bs, (x_non, labels, mels, wt))
+
     fit = jax.jit(jax.vmap(init_and_fit, in_axes=(0, 0, None, 0)))
-    evaluate = jax.jit(
-        jax.vmap(
-            lambda p, bs, xs, wt: proto._eval_epoch(p, bs, xs + (wt,)),
-            in_axes=(0, 0, 0, None),
-        )
-    )
+    evaluate = jax.jit(jax.vmap(eval_one, in_axes=(0, 0, 0, None)))
     return fit, evaluate
 
 

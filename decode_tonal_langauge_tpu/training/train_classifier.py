@@ -77,8 +77,16 @@ def run(config: dict) -> str:
         params.model_name = model_cfg["model"].split(".")[-1]
 
     base_log_dir = getattr(params, "log_dir", "logs")
+    # Resume-control keys stay out of the experiment hash: a resumed run
+    # must land in the SAME log dir as the fit it continues (and
+    # checkpointing never changes results).
+    hash_cfg = {
+        k: v
+        for k, v in combined_cfg.items()
+        if k not in ("resume", "train_state_dir", "checkpoint_every")
+    }
     exp_name = generate_hash_name_from_config(
-        getattr(params, "model_name", "model"), config=combined_cfg
+        getattr(params, "model_name", "model"), config=hash_cfg
     )
     params.log_dir = os.path.join(base_log_dir, exp_name)
     os.makedirs(params.log_dir, exist_ok=True)

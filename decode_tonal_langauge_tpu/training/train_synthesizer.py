@@ -122,6 +122,23 @@ def build_parser() -> argparse.ArgumentParser:
         help="Weight decay (the reference feeds its schedule_decay to "
         "NAdam's weight_decay).",
     )
+    # ----- Full train-state checkpointing (SURVEY §5) -----
+    parser.add_argument(
+        "--train_state_dir", type=str, default=None,
+        help="Save the FULL per-seed train state (params, NAdam moments, "
+        "RNG, epoch counter, history) there; forces the sequential "
+        "per-seed path.",
+    )
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="Continue a fit from --train_state_dir exactly where it "
+        "left off (--epochs counts TOTAL epochs).",
+    )
+    parser.add_argument(
+        "--checkpoint_every", type=int, default=None,
+        help="Checkpoint the train state every N epochs (default: once "
+        "at the end of the fit).",
+    )
     return parser
 
 
@@ -333,10 +350,14 @@ def run(params: argparse.Namespace) -> dict:
     # All repeat seeds as one vmapped jit (SURVEY §2.7's repeat axis; same
     # redesign as the classifier's seed_parallel). A mesh keeps the
     # sequential per-seed path: there the per-BATCH axis is sharded.
+    # Full train-state checkpointing runs the sequential per-seed path
+    # (the vmapped multi-seed fit has no per-seed resume granularity).
+    train_state_dir = getattr(params, "train_state_dir", None)
     seed_parallel = (
         bool(getattr(params, "seed_parallel", True))
         and len(seeds) > 1
         and mesh is None
+        and not train_state_dir
     )
     def _save_checkpoint(seed, model_params, model_batch_stats):
         if not getattr(params, "checkpoint_dir", None):
@@ -399,6 +420,16 @@ def run(params: argparse.Namespace) -> dict:
                 batch_size=params.batch_size,
                 verbose=params.verbose > 1,
                 target_mean=mels[tr_idx].mean(axis=0) if tm_init else None,
+                checkpoint_dir=(
+                    os.path.join(
+                        train_state_dir,
+                        f"{params.synthesis_model_name}_seed_{int(seed)}",
+                    )
+                    if train_state_dir
+                    else None
+                ),
+                resume=bool(getattr(params, "resume", False)),
+                checkpoint_every=getattr(params, "checkpoint_every", None),
             )
             mcd, recon_mels, origin_mels = trainer.evaluate(
                 tuple(arr[te_idx] for arr in arrays),

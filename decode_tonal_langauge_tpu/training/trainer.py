@@ -220,6 +220,7 @@ class ClassifierTrainer:
         self, n_epochs, patience,
         params, batch_stats, opt_state, rng,
         x, y, w, vxb, vyb, vwb,
+        es=None, epoch0=0,
     ):
         """The whole training run as one compiled computation.
 
@@ -228,6 +229,11 @@ class ClassifierTrainer:
         after the stop are frozen no-ops (metrics NaN), so the host can
         reconstruct exactly the per-epoch history the reference's loop
         would have produced.
+
+        ``es`` (best_val, best_epoch, bad, stopped) and ``epoch0`` let a
+        checkpointed fit continue exactly where a previous segment left
+        off (full train-state resume); the defaults reproduce a fresh
+        fit. Returns the final es tuple so callers can checkpoint it.
         """
         n = x.shape[0]
         n_batches = n // self.batch_size
@@ -288,15 +294,19 @@ class ClassifierTrainer:
             stopped = jnp.logical_or(stopped, bad > patience)
             return (state, best_val, best_epoch, bad, stopped), metrics + (executed,)
 
-        init = (
-            (params, batch_stats, opt_state, rng),
-            jnp.float32(jnp.inf), jnp.int32(-1), jnp.int32(0), jnp.bool_(False),
-        )
-        (state, _, best_epoch, _, stopped), history = jax.lax.scan(
-            epoch_body, init, jnp.arange(n_epochs, dtype=jnp.int32)
+        if es is None:
+            es = (
+                jnp.float32(jnp.inf), jnp.int32(-1), jnp.int32(0),
+                jnp.bool_(False),
+            )
+        init = ((params, batch_stats, opt_state, rng),) + tuple(es)
+        epochs = jnp.arange(n_epochs, dtype=jnp.int32) + jnp.int32(epoch0)
+        (state, best_val, best_epoch, bad, stopped), history = jax.lax.scan(
+            epoch_body, init, epochs
         )
         params, batch_stats, opt_state, rng = state
-        return params, batch_stats, opt_state, rng, best_epoch, stopped, history
+        es_out = (best_val, best_epoch, bad, stopped)
+        return params, batch_stats, opt_state, rng, es_out, history
 
     @partial(jax.jit, static_argnums=(0,))
     def _eval_epoch(self, params, batch_stats, xb, yb, wb):
@@ -313,17 +323,97 @@ class ClassifierTrainer:
         return losses.mean(), accs.mean(), preds
 
     # ------------------------------------------------------------------
+    # Full train-state checkpointing (SURVEY §5; supersedes the
+    # reference's params-only ``torch.save(model.state_dict())``,
+    # ``/root/reference/training/classifier_pipeline.py:161-168``): the
+    # ENTIRE fit-scan carry — params, batch_stats, opt_state, the RNG
+    # key, early-stopping bookkeeping, epoch counter, and metric history
+    # — round-trips through Orbax, so a resumed fit continues the exact
+    # trajectory of an uninterrupted one (tests/test_resume.py).
+    def _save_train_state(self, path, rng, es, epochs_done, history) -> None:
+        from ..runtime.checkpoint import save_train_state
+
+        state = {
+            "params": self.params,
+            "opt_state": list(jax.tree_util.tree_leaves(self.opt_state)),
+            "rng": jax.random.key_data(rng),
+            "es": {
+                "best_val": es[0], "best_epoch": es[1],
+                "bad": es[2], "stopped": es[3],
+            },
+            "epochs_done": np.int32(epochs_done),
+            "history": np.asarray(history, np.float32),
+        }
+        if self._has_bn:
+            state["batch_stats"] = self.batch_stats
+        save_train_state(path, state)
+
+    def _restore_train_state(self, path):
+        """Returns (rng, es, epochs_done, history) and rebinds the
+        params/batch_stats/opt_state attributes, or None when no state
+        exists at ``path``. Call after :meth:`init` (the optimizer-state
+        tree structure is taken from the live ``opt_state``)."""
+        from ..runtime.checkpoint import load_params, train_state_exists
+
+        if not train_state_exists(path):
+            return None
+        restored = load_params(path)
+        put = self._layout.replicate_tree
+        self.params = put(restored["params"])
+        if "batch_stats" in restored:
+            self.batch_stats = put(restored["batch_stats"])
+            self._has_bn = True
+        self.opt_state = put(
+            jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(self.opt_state),
+                restored["opt_state"],
+            )
+        )
+        rng = jax.random.wrap_key_data(
+            jnp.asarray(restored["rng"], dtype=jnp.uint32)
+        )
+        es = (
+            jnp.float32(restored["es"]["best_val"]),
+            jnp.int32(restored["es"]["best_epoch"]),
+            jnp.int32(restored["es"]["bad"]),
+            jnp.asarray(restored["es"]["stopped"], dtype=bool),
+        )
+        history = np.asarray(restored["history"], np.float32).reshape(-1, 6)
+        return rng, es, int(restored["epochs_done"]), history
+
     def fit(
         self,
         train_x: np.ndarray,
         train_y: np.ndarray,
         val_x: np.ndarray,
         val_y: np.ndarray,
+        checkpoint_dir: Optional[str] = None,
+        resume: bool = False,
+        checkpoint_every: Optional[int] = None,
     ) -> FitResult:
+        """Fit with early stopping.
+
+        ``checkpoint_dir``: save the full train state there (after every
+        ``checkpoint_every`` epochs — default: once at the end). With
+        ``resume=True`` an existing state at that path continues exactly
+        where it left off (``max_epochs`` counts TOTAL epochs across the
+        original fit and the resume). Segments of different lengths
+        compile separately; keep ``checkpoint_every`` a divisor of the
+        remaining epochs to reuse one compilation.
+        """
         if self.params is None:
             self.init(train_x)
 
         rng = jax.random.key(self.seed)
+        es = None
+        epochs_done = 0
+        history_arr = np.zeros((0, 6), dtype=np.float32)
+
+        if checkpoint_dir and resume:
+            restored = self._restore_train_state(checkpoint_dir)
+            if restored is not None:
+                rng, es, epochs_done, history_arr = restored
+
         vxb, vyb, vwb = self._place_stacks(
             *_stack_batches(val_x, val_y, self.batch_size)
         )
@@ -338,34 +428,50 @@ class ClassifierTrainer:
         y = self._layout.replicate_tree(y)
         w = self._layout.replicate_tree(w)
 
-        (
-            self.params,
-            self.batch_stats,
-            self.opt_state,
-            rng,
-            best_epoch,
-            stopped,
-            metrics,
-        ) = self._fit_scan(
-            self.max_epochs, self.patience,
-            self.params, self.batch_stats, self.opt_state, rng,
-            x, y, w, vxb, vyb, vwb,
+        seg_size = (
+            int(checkpoint_every)
+            if (checkpoint_dir and checkpoint_every)
+            else self.max_epochs
         )
+        while epochs_done < self.max_epochs:
+            if es is not None and bool(np.asarray(es[3])):
+                break  # early-stopped in a previous segment
+            seg = min(seg_size, self.max_epochs - epochs_done)
+            (
+                self.params,
+                self.batch_stats,
+                self.opt_state,
+                rng,
+                es,
+                metrics,
+            ) = self._fit_scan(
+                seg, self.patience,
+                self.params, self.batch_stats, self.opt_state, rng,
+                x, y, w, vxb, vyb, vwb,
+                es, epochs_done,
+            )
+            chunk = np.stack([np.asarray(m) for m in metrics], axis=1)
+            history_arr = np.concatenate([history_arr, chunk.astype(np.float32)])
+            epochs_done += seg
+            if checkpoint_dir:
+                self._save_train_state(
+                    checkpoint_dir, rng, es, epochs_done, history_arr
+                )
 
-        tr_loss, tr_acc, w_norm, val_loss, val_acc, executed = (
-            np.asarray(m) for m in metrics
-        )
         history: List[Dict[str, float]] = []
-        for epoch in range(self.max_epochs):
-            if not executed[epoch]:
+        for epoch in range(history_arr.shape[0]):
+            tr_loss, tr_acc, w_norm, val_loss, val_acc, executed = (
+                history_arr[epoch]
+            )
+            if not executed:
                 break  # frozen post-stop epochs
             row = {
                 "epoch": epoch,
-                "train/loss": float(tr_loss[epoch]),
-                "train/accuracy": float(tr_acc[epoch]),
-                "train/weight_norm": float(w_norm[epoch]),
-                "val/loss": float(val_loss[epoch]),
-                "val/accuracy": float(val_acc[epoch]),
+                "train/loss": float(tr_loss),
+                "train/accuracy": float(tr_acc),
+                "train/weight_norm": float(w_norm),
+                "val/loss": float(val_loss),
+                "val/accuracy": float(val_acc),
             }
             history.append(row)
             if self.verbose:
@@ -379,7 +485,7 @@ class ClassifierTrainer:
 
         # Final weights are the last trained epoch's (reference keeps the
         # last epoch, not the best).
-        return FitResult(history, int(best_epoch), bool(stopped))
+        return FitResult(history, int(np.asarray(es[1])), bool(np.asarray(es[3])))
 
     # ------------------------------------------------------------------
     def predict(self, x: np.ndarray) -> np.ndarray:

@@ -53,15 +53,20 @@ print("WORKER_OK", jax.process_index())
 """
 
 
-def _run_two_process_smoke(repo_root):
-    """One attempt: returns (outs, timed_out). The free-port pattern has
-    an inherent race (the port is released before the coordinator binds
-    it) and a loaded host can starve the rendezvous — callers retry."""
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    coord = f"127.0.0.1:{port}"
+def test_two_process_initialize_and_collective(tmp_path):
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    # Race-free port reservation: bind with SO_REUSEPORT and HOLD the
+    # socket (no listen) for the whole run. The coordinator's gRPC server
+    # also binds with SO_REUSEPORT (the Linux default in gRPC), so it can
+    # take the same port while we hold it — and because we never release
+    # it, no other process can steal it in between. This replaces the
+    # earlier bind/close/reuse pattern whose close-to-rebind window was a
+    # real race (commit 189130a papered over it with a retry).
+    holder = socket.socket()
+    holder.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+    holder.bind(("127.0.0.1", 0))
+    coord = f"127.0.0.1:{holder.getsockname()[1]}"
 
     # Child env: force a clean 1-virtual-CPU-device backend per process
     # (strip the axon injection vectors, as the proven dryrun recipe).
@@ -76,49 +81,35 @@ def _run_two_process_smoke(repo_root):
 
     code = _WORKER.format(root=repo_root)
     procs = []
-    for pid in (0, 1):
-        penv = dict(env, PROC_ID=str(pid))
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, "-c", code],
-                env=penv,
-                cwd=repo_root,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.PIPE,
-                text=True,
+    try:
+        for pid in (0, 1):
+            penv = dict(env, PROC_ID=str(pid))
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, "-c", code],
+                    env=penv,
+                    cwd=repo_root,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.PIPE,
+                    text=True,
+                )
             )
-        )
 
-    outs = []
-    for p in procs:
-        try:
-            # Generous: under a loaded host (parallel test workers, bench
-            # jobs) process startup + compile can take minutes.
-            out, err = p.communicate(timeout=420)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            return None, True
-        outs.append((p.returncode, out, err))
-    return outs, False
+        outs = []
+        for p in procs:
+            try:
+                # Generous: under a loaded host (parallel test workers,
+                # bench jobs) process startup + compile can take minutes.
+                out, err = p.communicate(timeout=420)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail("2-process smoke timed out (coordinator hang?)")
+            outs.append((p.returncode, out, err))
+    finally:
+        holder.close()
 
-
-def test_two_process_initialize_and_collective(tmp_path):
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-    last = None
-    for attempt in range(2):
-        outs, timed_out = _run_two_process_smoke(repo_root)
-        if timed_out:
-            last = "timed out (coordinator hang?)"
-            continue
-        if all(rc == 0 for rc, _, _ in outs):
-            break
-        last = "\n".join(
-            f"worker rc={rc}:\n{out}\n{err}" for rc, out, err in outs
-        )
-    else:
-        pytest.fail(f"2-process smoke failed twice; last: {last}")
-
+    for rc, out, err in outs:
+        assert rc == 0, f"worker rc={rc}:\n{out}\n{err}"
     assert "WORKER_OK 0" in outs[0][1] + outs[1][1]
     assert "WORKER_OK 1" in outs[0][1] + outs[1][1]

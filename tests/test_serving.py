@@ -437,6 +437,54 @@ def test_classifier_only_without_mel_kwargs(artifacts, tmp_path):
     assert summary["n_trials"] == N_TRIALS
 
 
+def test_synthesis_serving_without_audio(artifacts, tmp_path):
+    """The primary serving use case: NEW ECoG epochs carry no
+    ground-truth audio — the synthesizer's output dim must come from the
+    checkpoint's head-bias shape, not an audio probe (ADVICE r3)."""
+    dataset = np.load(artifacts["sample_path"])
+    sample_path = str(tmp_path / "new_epochs.npz")
+    np.savez(sample_path, ecog=dataset["ecog"])  # ecog only
+
+    out_dir = str(tmp_path / "decoded_new")
+    args = build_parser().parse_args([
+        "--sample_path", sample_path,
+        "--channel_file", artifacts["channel_file"],
+        "--config_file", artifacts["config_file"],
+        "--tone_model_name", "logistic",
+        "--tone_model_path", os.path.join(artifacts["root"], "tone_ckpt"),
+        "--syllable_model_name", "ShallowNN",
+        "--syllable_model_path", os.path.join(artifacts["root"], "syll_ckpt"),
+        "--synthesis_model_name", "SynthesisLite",
+        "--synthesis_model_path", os.path.join(artifacts["root"], "synth_ckpt"),
+        "--audio_sampling_rate", str(SR),
+        "--output_dir", out_dir,
+        "--n_wavs", "1",
+    ])
+    summary = run(args)
+    assert summary["n_trials"] == N_TRIALS
+    assert "tone_accuracy" not in summary  # no true labels in the npz
+    mels = np.load(os.path.join(out_dir, "mels.npz"))["mel"]
+    assert mels.shape == (N_TRIALS, artifacts["mel_dim"])
+    assert os.path.exists(os.path.join(out_dir, "decoded_0.wav"))
+
+
+def test_mel_dim_from_checkpoint(artifacts):
+    from decode_tonal_langauge_tpu.serving import _mel_dim_from_checkpoint
+
+    assert (
+        _mel_dim_from_checkpoint(os.path.join(artifacts["root"], "synth_ckpt"))
+        == artifacts["mel_dim"]
+    )
+
+
+def test_zero_trial_decode_rejected(artifacts):
+    tone_model, tone_vars, syll_model, syll_vars = artifacts["models"][:4]
+    dec = TonalDecoder(tone_model, tone_vars, syll_model, syll_vars, MAPPING)
+    empty = np.zeros((0, N_CH, T), dtype=np.float32)
+    with pytest.raises(ValueError, match="zero trials"):
+        dec.decode(empty, CHANNELS)
+
+
 def test_classifier_only_decode(artifacts, tmp_path):
     out_dir = str(tmp_path / "labels_only")
     args = build_parser().parse_args([
