@@ -34,8 +34,43 @@ def run(config: dict) -> str:
     pipeline_params = dict_to_namespace(pipeline_cfg.get("params", {}))
     io_params = dict_to_namespace(io_cfg.get("params", {}))
 
+    # Device-mesh parallelism for the stage (SURVEY §7's sharded
+    # blockwise filtering): with `parallel: {data: N}`, each queued
+    # block's fused step chain is dispatched round-robin to a different
+    # local device (computation follows data; blocks are embarrassingly
+    # parallel, so zero collectives). Guarded by signature so custom
+    # pipeline plugins with the reference's 5-arg `run` keep working.
+    kwargs = {}
+    parallel_cfg = config.get("parallel")
+    if parallel_cfg:
+        import inspect
+
+        import jax
+
+        from ..parallel.mesh import mesh_from_config
+
+        mesh = mesh_from_config(parallel_cfg)
+        if mesh is not None:
+            local = [
+                d
+                for d in mesh.devices.flat
+                if d.process_index == jax.process_index()
+            ]
+            if "devices" in inspect.signature(pipeline_module.run).parameters:
+                kwargs["devices"] = local
+                print(
+                    f"preprocess on {len(local)} devices "
+                    "(block round-robin)"
+                )
+            else:
+                print(
+                    "parallel: set but the pipeline plugin takes no "
+                    "`devices` argument; preprocessing single-device"
+                )
+
     return pipeline_module.run(
-        pipeline_params, io_params, io_module, preprocessor_module, modalities_cfg
+        pipeline_params, io_params, io_module, preprocessor_module,
+        modalities_cfg, **kwargs,
     )
 
 

@@ -59,7 +59,18 @@ def generate_setup_name(modalities_cfg: Dict[str, Any]) -> str:
     return f"{readable_name}_{hash_part}" if readable_parts else readable_name
 
 
-def run(pipeline_params, io_params, io_module, preprocessor_module, modalities_cfg):
+def run(pipeline_params, io_params, io_module, preprocessor_module,
+        modalities_cfg, devices=None):
+    """``devices``: optional list of local devices — each block's step
+    chain is dispatched to ``devices[i % n]`` (computation follows
+    data), so an N-chip slice filters N blocks concurrently while the
+    host loads ahead. Outputs are bitwise identical to the
+    single-device run (the per-block computation is untouched; only its
+    placement changes) — parity-tested in ``tests/test_preprocess.py``.
+
+    The reference's hot loop runs every block's filters serially on one
+    device (``/root/reference/preprocess/signal/frequency_filter.py:
+    170-181``); this is the mesh-parallel redesign of SURVEY §7."""
     setup_name = generate_setup_name(modalities_cfg)
     setup_dir = os.path.join(io_params.output_dir, setup_name)
     os.makedirs(setup_dir, exist_ok=True)
@@ -102,9 +113,23 @@ def run(pipeline_params, io_params, io_module, preprocessor_module, modalities_c
     # bound caps device memory held by pending saves.
     from concurrent.futures import ThreadPoolExecutor
 
+    # Custom preprocessor plugins may not accept the device kwarg.
+    import inspect
+
+    supports_device = "device" in inspect.signature(
+        preprocessor_module.preprocess_modalities
+    ).parameters
+    if devices is not None and len(devices) > 1 and not supports_device:
+        print(
+            "preprocessor plugin takes no `device` argument; "
+            "preprocessing single-device"
+        )
+        devices = None
+    n_dev = len(devices) if devices else 1
+
     pending = []
     with ThreadPoolExecutor(max_workers=1) as writer:
-        for subject_id, block_id, block_path in blocks:
+        for i, (subject_id, block_id, block_path) in enumerate(blocks):
             print(f"Processing block {block_id} of subject {subject_id}...")
 
             data_dict = io_module.load_block(block_path)
@@ -128,8 +153,12 @@ def run(pipeline_params, io_params, io_module, preprocessor_module, modalities_c
                 )
                 os.makedirs(block_figure_dir, exist_ok=True)
 
+            kwargs = {}
+            if devices is not None:
+                kwargs["device"] = devices[i % n_dev]
             preprocessor_module.preprocess_modalities(
-                data_dict, modalities_cfg, block_params, figure_dir=block_figure_dir
+                data_dict, modalities_cfg, block_params,
+                figure_dir=block_figure_dir, **kwargs,
             )
 
             pending.append(
@@ -137,7 +166,9 @@ def run(pipeline_params, io_params, io_module, preprocessor_module, modalities_c
                     io_module.save_block, setup_dir, subject_id, block_id, data_dict
                 )
             )
-            while len(pending) >= 2:
+            # In-flight bound: with N devices the loop must run N blocks
+            # ahead (plus one being written) to keep every chip busy.
+            while len(pending) >= n_dev + 1:
                 pending.pop(0).result()  # propagate writer errors early
 
         for future in pending:

@@ -25,8 +25,13 @@ def preprocess_modalities(
     modalities_cfg: dict,
     base_params: Namespace,
     figure_dir: Optional[str] = None,
+    device=None,
 ) -> dict:
-    """Preprocess each modality according to its type and configured steps."""
+    """Preprocess each modality according to its type and configured steps.
+
+    ``device``: optional placement for this block's compute — the input
+    is device_put there and every op follows its data, so the pipeline
+    can round-robin whole blocks across a mesh's chips."""
     for modality, cfg in modalities_cfg.items():
         mod_type = cfg.get("type")
         if mod_type is None:
@@ -45,7 +50,8 @@ def preprocess_modalities(
         if mod_type == "signal":
             params.signal_freq = data_dict.get(f"{modality}_sf")
             processed, freq = preprocess_signal(
-                data_dict[modality], steps, params, figure_dir=mod_fig_dir
+                data_dict[modality], steps, params, figure_dir=mod_fig_dir,
+                device=device,
             )
             if freq is not None:
                 data_dict[f"{modality}_sf"] = freq
@@ -65,6 +71,7 @@ def preprocess_signal(
     figure_dir: Optional[str] = None,
     num_channels: int = 5,
     duration: float = 1.0,
+    device=None,
 ):
     """Apply preprocessing steps sequentially; returns (data, final_freq).
 
@@ -75,8 +82,16 @@ def preprocess_signal(
     spilling each intermediate to HBM. Plugins that cannot trace (host
     side effects, data-dependent shapes) fall back to the eager per-step
     path automatically.
+
+    ``device``: optional explicit placement — the input is device_put
+    there and the (shared, shape-keyed) jitted chain executes on it, so
+    concurrent blocks can occupy different chips of a mesh.
     """
     _apply_step_params(steps, block_params)
+    if device is not None:
+        import jax
+
+        data = jax.device_put(data, device)
 
     if figure_dir is None:
         import jax

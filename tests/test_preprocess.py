@@ -171,6 +171,169 @@ def test_subject_block_pipeline_end_to_end(tmp_path):
     assert setup_dir2 == setup_dir
 
 
+def _stage_config(raw_dir, out_dir, parallel=None):
+    config = {
+        "preprocess": {
+            "module": "preprocess_main",
+            "params": {
+                "pipeline": {
+                    "module": "preprocess.pipelines.subject_block",
+                    "params": {
+                        "subject_dirs": ["Sub1"],
+                        "subject_ids": [1],
+                        "figures": False,
+                    },
+                },
+                "io": {
+                    "module": "preprocess.io.npz_blocks",
+                    "params": {
+                        "root_dir": raw_dir,
+                        "output_dir": out_dir,
+                    },
+                },
+                "preprocessor": {"module": "preprocess.preprocessor"},
+                "modalities": {
+                    "ecog": {
+                        "type": "signal",
+                        "preprocessing": {
+                            "steps": [
+                                {
+                                    "module": "downsample",
+                                    "params": {"downsample_freq": 250},
+                                },
+                                {
+                                    "module": "frequency_filter",
+                                    "params": {
+                                        "bands": [
+                                            {
+                                                "method": "hilbert",
+                                                "params": {
+                                                    "freq_ranges": [70, 110],
+                                                    "envelope": True,
+                                                },
+                                            }
+                                        ]
+                                    },
+                                },
+                                {
+                                    "module": "zscore_rereference",
+                                    "params": {
+                                        "rereference_interval": [0.0, 5.0]
+                                    },
+                                },
+                            ]
+                        },
+                    },
+                    "audio": {"type": "signal"},
+                },
+            },
+        }
+    }
+    if parallel is not None:
+        config["parallel"] = parallel
+    return config
+
+
+def test_mesh_parallel_stage_matches_single_device(tmp_path, monkeypatch):
+    """parallel: {data: 8} round-robins blocks across the mesh's devices;
+    every device must receive work and the stage outputs must equal the
+    single-device run's (the per-block computation is placement-
+    independent). SURVEY §7's device-sharded blockwise filtering."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    spec = SyntheticSpec(n_channels=8, n_blocks=8, trials_per_block=2,
+                         ecog_sf=500.0, audio_sf=1000.0)
+    write_subject(str(tmp_path / "raw"), 1, spec)
+
+    single_dir = preprocess_main.run(
+        _stage_config(str(tmp_path / "raw"), str(tmp_path / "single"))
+    )
+
+    from decode_tonal_langauge_tpu.preprocess import preprocessor
+
+    seen_devices = []
+    orig = preprocessor.preprocess_signal
+
+    def spy(data, steps, block_params, figure_dir=None, device=None, **kw):
+        seen_devices.append(device)
+        return orig(
+            data, steps, block_params, figure_dir=figure_dir,
+            device=device, **kw,
+        )
+
+    monkeypatch.setattr(preprocessor, "preprocess_signal", spy)
+    meshed_dir = preprocess_main.run(
+        _stage_config(
+            str(tmp_path / "raw"), str(tmp_path / "meshed"),
+            parallel={"data": 8},
+        )
+    )
+
+    # all 8 devices held work (8 blocks x 2 modalities, round-robin)
+    assert {d.id for d in seen_devices if d is not None} == set(range(8))
+
+    for block in range(1, 9):
+        for mod in ("ecog", "audio"):
+            a = np.load(
+                os.path.join(single_dir, "subject_1", f"B{block}_{mod}.npz")
+            )
+            b = np.load(
+                os.path.join(meshed_dir, "subject_1", f"B{block}_{mod}.npz")
+            )
+            assert float(a["sf"]) == float(b["sf"])
+            np.testing.assert_allclose(
+                a["data"], b["data"], rtol=1e-6, atol=1e-7
+            )
+
+
+def test_stage_custom_plugin_without_device_kwarg(tmp_path, capsys):
+    """A custom preprocessor plugin with the reference's 4-arg
+    preprocess_modalities must keep working when parallel: is set (the
+    stage degrades to single-device with a notice)."""
+    import sys
+    import types
+
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2+ devices")
+
+    from decode_tonal_langauge_tpu import registry
+    from decode_tonal_langauge_tpu.preprocess import preprocessor
+
+    legacy = types.ModuleType("legacy_preprocessor")
+
+    def preprocess_modalities(data_dict, modalities_cfg, base_params,
+                              figure_dir=None):
+        return preprocessor.preprocess_modalities(
+            data_dict, modalities_cfg, base_params, figure_dir=figure_dir
+        )
+
+    legacy.preprocess_modalities = preprocess_modalities
+    sys.modules["legacy_preprocessor"] = legacy
+    try:
+        spec = SyntheticSpec(n_channels=4, n_blocks=2, trials_per_block=2,
+                             ecog_sf=500.0, audio_sf=1000.0)
+        write_subject(str(tmp_path / "raw"), 1, spec)
+        config = _stage_config(
+            str(tmp_path / "raw"), str(tmp_path / "out"),
+            parallel={"data": 2},
+        )
+        config["preprocess"]["params"]["preprocessor"] = {
+            "module": "legacy_preprocessor"
+        }
+        setup_dir = preprocess_main.run(config)
+        assert os.path.exists(
+            os.path.join(setup_dir, "subject_1", "B1_ecog.npz")
+        )
+        assert "single-device" in capsys.readouterr().out
+    finally:
+        del sys.modules["legacy_preprocessor"]
+
+
 class TestFusedChain:
     """preprocess_signal's one-dispatch fused path: numerics equal to the
     per-step eager path, cached across blocks, eager fallback for
