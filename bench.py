@@ -591,6 +591,141 @@ def bench_audio_codec(batch: int = 64, duration_s: float = 1.0,
     }
 
 
+def bench_griffinlim(batch: int = 32, sr: float = 24414.0, n_fft: int = 2048,
+                     hop: int = 512, n_mels: int = 128, n_frames: int = 20,
+                     n_iter: int = 32):
+    """Batched mel -> waveform synthesis (NNLS + Griffin-Lim, the
+    raw-ECoG->speech north star's last mile). One vmapped dispatch for
+    the whole batch vs the per-trial dispatch chain the reference's
+    librosa loop implies (``/root/reference/train_synthesizer.py:402-445``)."""
+    import jax
+
+    from decode_tonal_langauge_tpu.utils.audio import (
+        _invert_mels_batch,
+        mels_to_audio,
+    )
+    from decode_tonal_langauge_tpu.ops.stft import mel_filterbank
+
+    rng = np.random.default_rng(0)
+    mels = (
+        rng.standard_normal((batch, n_mels * n_frames)).astype(np.float32)
+        * 10.0
+        - 40.0
+    )
+    kwargs = dict(
+        n_mels=n_mels, audio_sampling_rate=sr, n_fft=n_fft, hop_length=hop,
+        n_iter=n_iter,
+    )
+
+    # warm both paths (compile)
+    mels_to_audio(mels, **kwargs)
+    basis = mel_filterbank(sr, n_fft, n_mels).astype(np.float32)
+    shaped = mels.reshape(batch, n_mels, n_frames)
+    _invert_mels_batch(
+        shaped[:1], basis, mel_in_db=True, power=2.0, n_fft=n_fft,
+        hop_length=hop, n_iter=n_iter, length=None,
+    )
+
+    overhead = _readback_overhead()
+    t0 = time.perf_counter()
+    waves = mels_to_audio(mels, **kwargs)
+    batched_s = max(time.perf_counter() - t0 - overhead, 1e-9)
+    assert np.isfinite(waves).all()
+
+    # per-trial floor: the same chain dispatched one trial at a time
+    # (the r3 serving path); readbacks fence each dispatch as the CLI's
+    # write_wav loop would.
+    t0 = time.perf_counter()
+    for i in range(batch):
+        np.asarray(
+            _invert_mels_batch(
+                shaped[i : i + 1], basis, mel_in_db=True, power=2.0,
+                n_fft=n_fft, hop_length=hop, n_iter=n_iter, length=None,
+            )
+        )
+    per_trial_s = time.perf_counter() - t0
+
+    return {
+        "griffinlim_wavs_per_s": batch / batched_s,
+        "griffinlim_batched_speedup": per_trial_s / batched_s,
+    }
+
+
+def bench_synth_fit(n: int = 96, channels: int = 40, cls_channels: int = 6,
+                    length: int = 200, n_dynamics: int = 100,
+                    n_mel: int = 128 * 20, epochs: int = 20,
+                    batch_size: int = 8):
+    """The PRODUCTION synthesis fit (SynthesisTrainer.train) at paper
+    shapes: frozen CNN-RNN tone + CNN syllable classifiers feeding
+    SynthesisModelCNN. Since r4 the frozen classifiers run ONCE per fit
+    (dynamics precomputed and gathered by the epoch permutation) instead
+    of every batch of every epoch; ``classifier_pass_s`` is what ONE
+    full-train-set prediction costs — the r3 design paid it
+    epochs*n_batches/pass more times inside the scan."""
+    import jax
+
+    from decode_tonal_langauge_tpu.models.deep import (
+        CNNClassifier,
+        CNNRNNClassifier,
+    )
+    from decode_tonal_langauge_tpu.models.synthesis import SynthesisModelCNN
+    from decode_tonal_langauge_tpu.training.synthesis_trainer import (
+        SynthesisTrainer,
+    )
+
+    rng = np.random.default_rng(0)
+    ecog_non = rng.standard_normal((n, channels, length)).astype(np.float32)
+    ecog_syll = rng.standard_normal((n, cls_channels, length)).astype(np.float32)
+    ecog_tone = rng.standard_normal((n, cls_channels, length)).astype(np.float32)
+    mels = rng.standard_normal((n, n_mel)).astype(np.float32)
+    mapping = {str(k): list(np.linspace(0, 1, n_dynamics)) for k in range(4)}
+
+    tone_model = CNNRNNClassifier(
+        input_channels=cls_channels, input_length=length, n_classes=4
+    )
+    syll_model = CNNClassifier(
+        input_channels=cls_channels, input_length=length, n_classes=8
+    )
+    tone_vars = tone_model.init(
+        {"params": jax.random.key(0)}, ecog_tone[:1], train=False
+    )
+    syll_vars = syll_model.init(
+        {"params": jax.random.key(1)}, ecog_syll[:1], train=False
+    )
+    synth_model = SynthesisModelCNN(
+        output_dim=n_mel, n_channels=channels, n_timepoints=length
+    )
+    trainer = SynthesisTrainer(
+        synth_model, tone_model, tone_vars, syll_model, syll_vars,
+        mapping, verbose=False,
+    )
+    data = (ecog_non, ecog_syll, ecog_tone, mels)
+
+    # compile + warmup at the measured epoch count (epochs is a static
+    # arg of the fit scan; a different count would recompile)
+    trainer.train(data, epochs=epochs, batch_size=batch_size, verbose=False)
+
+    overhead = _readback_overhead()
+    t0 = time.perf_counter()
+    trainer.train(data, epochs=epochs, batch_size=batch_size, verbose=False)
+    fit_s = max(time.perf_counter() - t0 - overhead, 1e-9)
+
+    # one full-train-set frozen-classifier pass (the per-epoch cost the
+    # r3 design re-paid inside the scan)
+    flat_t = ecog_tone
+    flat_s = ecog_syll
+    np.asarray(trainer._predict_flat(flat_t, flat_s))  # warm
+    t0 = time.perf_counter()
+    np.asarray(trainer._predict_flat(flat_t, flat_s))
+    cls_pass_s = max(time.perf_counter() - t0 - overhead, 1e-9)
+
+    return {
+        "synth_fit_epochs_per_s": epochs / fit_s,
+        "synth_fit_s": fit_s,
+        "classifier_pass_s": cls_pass_s,
+    }
+
+
 def bench_serving(batch: int = 32, channels: int = 32, length: int = 200,
                   n_tones: int = 4, n_sylls: int = 8):
     """End-to-end decode (CNN syllable + CNN-RNN tone + SynthesisLite
@@ -677,6 +812,8 @@ def main():
     rnn = bench_training_cnnrnn()
     synth = bench_training_synthesis()
     audio = bench_audio_codec()
+    gl = bench_griffinlim()
+    fit = bench_synth_fit()
     serve = bench_serving()
 
     print(
@@ -717,6 +854,18 @@ def main():
                 "synthcnn_bf16_mfu": round(synth["synthcnn_bf16_mfu"], 4),
                 "mel_frames_per_s": round(audio["mel_frames_per_s"], 1),
                 "mel_vs_numpy_cpu": round(audio["mel_speedup"], 2),
+                "griffinlim_wavs_per_s": round(
+                    gl["griffinlim_wavs_per_s"], 2
+                ),
+                "griffinlim_batched_speedup": round(
+                    gl["griffinlim_batched_speedup"], 2
+                ),
+                "synth_fit_epochs_per_s": round(
+                    fit["synth_fit_epochs_per_s"], 2
+                ),
+                "synth_fit_classifier_pass_s": round(
+                    fit["classifier_pass_s"], 4
+                ),
                 "serving_decode_batch32_s": round(serve["decode_batch_s"], 5),
                 "serving_decode_trials_per_s": round(
                     serve["decode_trials_per_s"], 1

@@ -205,20 +205,19 @@ class TonalDecoder:
         mel_kwargs: Dict[str, Any],
         n: Optional[int] = None,
     ):
-        """Griffin-Lim waveforms from flattened predicted mels."""
-        from .utils.audio import mel_to_audio
+        """Griffin-Lim waveforms from flattened predicted mels — the
+        whole batch (NNLS + GL per trial, vmapped) is ONE dispatch."""
+        from .utils.audio import mels_to_audio
 
         n = mels_flat.shape[0] if n is None else min(n, mels_flat.shape[0])
-        return [
-            mel_to_audio(
-                mels_flat[i],
-                n_mels=mel_kwargs.get("n_mels", 128),
-                audio_sampling_rate=sr,
-                n_fft=mel_kwargs.get("n_fft", 2048),
-                hop_length=mel_kwargs.get("hop_length", 512),
-            )
-            for i in range(n)
-        ]
+        waves = mels_to_audio(
+            mels_flat[:n],
+            n_mels=mel_kwargs.get("n_mels", 128),
+            audio_sampling_rate=sr,
+            n_fft=mel_kwargs.get("n_fft", 2048),
+            hop_length=mel_kwargs.get("hop_length", 512),
+        )
+        return list(waves)
 
 
 # ----------------------------------------------------------------------

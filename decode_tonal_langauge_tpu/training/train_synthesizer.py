@@ -26,7 +26,7 @@ from ..data.utils import select_non_discriminative_channels
 from ..models.deep import CNNClassifier, CNNRNNClassifier
 from ..models.simple import LogisticRegressionClassifier, ShallowNNClassifier
 from ..models.synthesis import SynthesisLite, SynthesisModelCNN
-from ..utils.audio import audio_to_mel, compare_mels, mel_to_audio, write_wav
+from ..utils.audio import audio_to_mel, compare_mels, mels_to_audio, write_wav
 from ..utils.visualise import plot_training_losses
 from .synthesis_trainer import SynthesisTrainer, seed_parallel_fit_eval
 
@@ -492,8 +492,8 @@ def run(params: argparse.Namespace) -> dict:
         )
 
     n_waves = min(10, recon_mels.shape[0])
-    for i in range(n_waves):
-        if params.figure_dir:
+    if params.figure_dir:
+        for i in range(n_waves):
             compare_mels(
                 origin_mels[i].reshape(n_mels, -1),
                 recon_mels[i].reshape(n_mels, -1),
@@ -502,15 +502,24 @@ def run(params: argparse.Namespace) -> dict:
                 title2="Reconstruction",
                 file_path=os.path.join(params.figure_dir, f"mel_compare_{i}.png"),
             )
-        if params.audio_dir:
-            for tag, mel in (("origin", origin_mels[i]), ("recon", recon_mels[i])):
-                wave = mel_to_audio(
-                    mel,
-                    n_mels=n_mels,
-                    audio_sampling_rate=params.audio_sampling_rate,
-                    n_fft=mel_kwargs.get("n_fft", 2048),
-                    hop_length=mel_kwargs.get("hop_length", 512),
-                )
+    if params.audio_dir and n_waves:
+        # All 2*n_waves inversions (origin + recon) as ONE vmapped
+        # NNLS + Griffin-Lim dispatch (the reference loops librosa's
+        # inverse per wav, /root/reference/train_synthesizer.py:402-445).
+        stacked = np.concatenate(
+            [origin_mels[:n_waves], recon_mels[:n_waves]], axis=0
+        )
+        waves = mels_to_audio(
+            stacked,
+            n_mels=n_mels,
+            audio_sampling_rate=params.audio_sampling_rate,
+            n_fft=mel_kwargs.get("n_fft", 2048),
+            hop_length=mel_kwargs.get("hop_length", 512),
+        )
+        for i in range(n_waves):
+            for tag, wave in (
+                ("origin", waves[i]), ("recon", waves[n_waves + i]),
+            ):
                 write_wav(
                     os.path.join(params.audio_dir, f"{tag}_{i}.wav"),
                     wave,

@@ -136,6 +136,35 @@ class TestAudioCodec:
         with pytest.raises(ValueError):
             audio.audio_to_mel(rng.random((2, 100)), 8000)
 
+    def test_batched_inverse_matches_per_trial(self, rng):
+        """mels_to_audio (one vmapped dispatch) must reproduce the
+        per-trial mel_to_audio outputs exactly (same seed-0 init phase)."""
+        sr = 8000
+        kwargs = dict(n_fft=512, hop_length=128, n_mels=32)
+        mels = np.stack([
+            audio.audio_to_mel(
+                _harmonic(sr=sr) * (1.0 + 0.2 * i), sr, mel_kwargs=kwargs
+            )
+            for i in range(3)
+        ])
+        batched = audio.mels_to_audio(
+            mels, n_mels=32, audio_sampling_rate=sr,
+            n_fft=512, hop_length=128, n_iter=8,
+        )
+        assert batched.shape[0] == 3
+        for i in range(3):
+            single = audio.mel_to_audio(
+                mels[i], n_mels=32, audio_sampling_rate=sr,
+                n_fft=512, hop_length=128, n_iter=8,
+            )
+            np.testing.assert_allclose(
+                batched[i], single, rtol=1e-4, atol=1e-5
+            )
+
+    def test_batched_inverse_rejects_1d(self, rng):
+        with pytest.raises(ValueError, match="batch"):
+            audio.mels_to_audio(rng.random(64), n_mels=8)
+
     def test_write_wav(self, tmp_path):
         audio.write_wav(str(tmp_path / "t.wav"), _harmonic(), 8000)
         from scipy.io import wavfile
