@@ -83,9 +83,13 @@ class CNNClassifier(nn.Module):
 
         for i, conv in enumerate(self.convs):
             x = conv(x)
-            x = nn.leaky_relu(x, negative_slope=self.negative_slope)
+            # Pool BEFORE the leaky-relu: bitwise identical (strictly
+            # increasing activation commutes with max) but the activation
+            # touches the half-size pooled tensor — pure HBM-traffic win
+            # on the ~0.5 GB conv activations (see PROFILE.md).
             if i != 4:  # block 5 has no pool
                 x = nn.max_pool(x, window_shape=(2, 1), strides=(2, 1))
+            x = nn.leaky_relu(x, negative_slope=self.negative_slope)
         x = self.dropout(x, deterministic=not train)
 
         x = x.reshape((x.shape[0], -1))
@@ -139,9 +143,11 @@ class CNNRNNClassifier(nn.Module):
         x1 = self.lstm1(seq)[:, -1, :]  # (B, lstm_dim)
 
         def conv_pool(img, conv):
+            # pool-then-leaky: bitwise equal to leaky-then-pool
+            # (monotone), half the activation traffic (PROFILE.md)
             img = conv(img)
-            img = nn.leaky_relu(img, negative_slope=self.negative_slope)
-            return nn.max_pool(img, window_shape=(2, 1), strides=(2, 1))
+            img = nn.max_pool(img, window_shape=(2, 1), strides=(2, 1))
+            return nn.leaky_relu(img, negative_slope=self.negative_slope)
 
         # Raw branch: (B, T, C, 1)
         raw = seq[..., None]
@@ -154,8 +160,8 @@ class CNNRNNClassifier(nn.Module):
         xf = jnp.concatenate([x1, raw], axis=2)  # concat on width
 
         y = nn.leaky_relu(self.conv3a(xf), negative_slope=self.negative_slope)
-        y = nn.leaky_relu(self.conv3b(y), negative_slope=self.negative_slope)
-        y = nn.max_pool(y, window_shape=(3, 1), strides=(3, 1))
+        y = nn.max_pool(self.conv3b(y), window_shape=(3, 1), strides=(3, 1))
+        y = nn.leaky_relu(y, negative_slope=self.negative_slope)
         y = self.drop(y, deterministic=not train)
 
         # (B, t', w, 256) -> (B, t', w*256)
