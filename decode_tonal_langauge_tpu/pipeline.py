@@ -119,6 +119,17 @@ def update_stage_cfg_io(stage_outputs: dict, stage: str, stage_cfg: dict) -> Non
             and "channel_selection" in stage_outputs
         ):
             params_io["channel_selection_dir"] = stage_outputs["channel_selection"]
+    elif stage == "evaluation":
+        params_io = stage_cfg.setdefault("params", {}).setdefault("io", {})
+        if "training_dir" not in params_io and "training" in stage_outputs:
+            params_io["training_dir"] = stage_outputs["training"]
+        if "sample_dir" not in params_io and "sample_collection" in stage_outputs:
+            params_io["sample_dir"] = stage_outputs["sample_collection"]
+        if (
+            "channel_selection_dir" not in params_io
+            and "channel_selection" in stage_outputs
+        ):
+            params_io["channel_selection_dir"] = stage_outputs["channel_selection"]
     elif stage == "visualisation":
         params_io = stage_cfg.setdefault("params", {}).setdefault("io", {})
         if "results_dir" not in params_io and "training" in stage_outputs:

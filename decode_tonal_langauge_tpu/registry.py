@@ -30,6 +30,7 @@ _ALIASES: Dict[str, str] = {
     "extract_samples": f"{_PKG}.data.extract_samples",
     "channel_selection_main": f"{_PKG}.channel_selection.main",
     "train_classifier": f"{_PKG}.training.train_classifier",
+    "evaluation_main": f"{_PKG}.evaluation.main",
     "visualisation_main": f"{_PKG}.visualisation.main",
     # --- preprocess sub-plugins ---
     "preprocess.pipelines.subject_block": f"{_PKG}.preprocess.pipelines.subject_block",

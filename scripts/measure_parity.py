@@ -31,6 +31,12 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 SEEDS = [3, 17, 42]
+# Seed-count asymmetry (VERDICT r3 item 8): torch cells stay at 3 seeds
+# (each costs ~1 h CPU); our cells run 12 — the seed-parallel trainers
+# make the extra 9 fits nearly free, and at n=3 the mean swings +-0.15 on
+# seed luck. Both sides draw from the SAME np.random.seed(42) stream, so
+# our first 3 seeds coincide with torch's (a strict superset).
+N_OUR_SEEDS = 12
 EPOCHS = 30
 
 
@@ -181,7 +187,7 @@ def run_pipeline_stages(workdir: str):
 
 # ---------------------------------------------------------------------------
 def train_ours(workdir: str, outputs, model_path: str, model_name: str,
-               target: str):
+               target: str, model_kwargs=None):
     """One target through the production training stage (seed-parallel on
     the attached device); returns (accuracy_all, wall_s)."""
     import pandas as pd
@@ -193,7 +199,7 @@ def train_ours(workdir: str, outputs, model_path: str, model_name: str,
         "model": {
             "model": model_path,
             "model_name": model_name,
-            "model_kwargs": {},
+            "model_kwargs": model_kwargs or {},
         },
         "training": {
             "module": "train_classifier",
@@ -208,7 +214,7 @@ def train_ours(workdir: str, outputs, model_path: str, model_name: str,
                     "features": "ecog",
                     "separate_models": False,
                     "seed": 42,
-                    "repeat": len(SEEDS),
+                    "repeat": N_OUR_SEEDS,
                     "verbose": 0,
                 },
                 "training": {
@@ -777,7 +783,7 @@ def train_synth_ours(workdir: str, outputs, model: str, epochs: int,
         "--tone_model_name", "logistic",
         "--epochs", str(epochs),
         "--batch_size", "16",
-        "--repeat", str(len(SEEDS)),
+        "--repeat", str(N_OUR_SEEDS),
         "--verbose", "0",
         "--audio_sampling_rate", "8000",
     ]
@@ -845,6 +851,18 @@ def main():
             "models.deep_classifiers.CNNClassifier", "cnn", "syllable",
         )
         results["cnn"] = {"accuracy_all": accs, "wall_s": wall}
+        save()
+
+    if wanted("cnn_bf16"):
+        # bf16 deliverable (VERDICT r3 item 5): the YAML-reachable
+        # model_kwargs dtype, same data/splits/seeds as the f32 `cnn`
+        # cell — quality must land within seed noise of f32.
+        accs, wall = train_ours(
+            args.workdir, outputs,
+            "models.deep_classifiers.CNNClassifier", "cnn_bf16", "syllable",
+            model_kwargs={"dtype": "bfloat16"},
+        )
+        results["cnn_bf16"] = {"accuracy_all": accs, "wall_s": wall}
         save()
 
     if wanted("cnnrnn"):

@@ -160,6 +160,10 @@ def _pipeline_config(tmp_path):
             },
         },
         "evaluation": {
+            # no `module`: stage is a no-op, its metrics/aggregates are
+            # consumed by training (the reference contract). Tests that
+            # exercise the shipped evaluation stage add the module +
+            # save_checkpoints below.
             "metrics": ["accuracy", "f1_score", "confusion_matrix"],
             "metric_aggregates": ["mean", "std"],
         },
@@ -211,6 +215,42 @@ def test_pipeline_deep_cnn(tmp_path):
     assert np.isfinite(results["accuracy_mean"]).all()
 
 
+def test_pipeline_cnn_bf16_config(tmp_path):
+    """`model_kwargs: {dtype: bfloat16}` in the YAML drives the bf16
+    compute path through the whole training stage (the deliverable path,
+    not a bench-only flag): run completes, metrics finite, and the
+    results row records the bf16 model name."""
+    spec = SyntheticSpec(
+        n_channels=8,
+        n_blocks=1,
+        trials_per_block=16,
+        ecog_sf=400.0,
+        audio_sf=800.0,
+        active_channels=tuple(range(8)),
+        tone_channels=(0, 1, 2, 3),
+        syllable_channels=(4, 5, 6, 7),
+    )
+    write_subject(str(tmp_path / "raw"), 1, spec)
+
+    config = _pipeline_config(tmp_path)
+    config["model"] = {
+        "model": "models.deep_classifiers.CNNClassifier",
+        "model_name": "cnn_bf16",
+        "model_kwargs": {"dtype": "bfloat16"},
+    }
+    exp = config["training"]["params"]["experiment"]
+    exp["targets"] = ["syllable"]
+    tr = config["training"]["params"]["training"]
+    tr["epochs"] = 1
+    tr["patience"] = 1
+    tr["batch_size"] = 8
+    outputs = run_pipeline(config)
+
+    results = pd.read_csv(os.path.join(outputs["training"], "results.csv"))
+    assert (results["model_name"] == "cnn_bf16").all()
+    assert np.isfinite(results["accuracy_mean"]).all()
+
+
 def test_full_pipeline(tmp_path):
     spec = SyntheticSpec(
         n_channels=12,
@@ -225,6 +265,11 @@ def test_full_pipeline(tmp_path):
     write_subject(str(tmp_path / "raw"), 1, spec)
 
     config = _pipeline_config(tmp_path)
+    # Exercise the shipped evaluation stage: training checkpoints its
+    # models, evaluation reloads them and must reproduce training's test
+    # metrics without a gradient step.
+    config["evaluation"]["module"] = "evaluation_main"
+    config["training"]["params"]["training"]["save_checkpoints"] = True
     outputs = run_pipeline(config)
 
     # every stage produced an output dir and threaded it downstream
@@ -261,6 +306,23 @@ def test_full_pipeline(tmp_path):
         os.path.join(outputs["training"], "figures/subject_1/confusion_matrix.png")
     )
     assert os.path.exists(os.path.join(outputs["training"], "config.yaml"))
+
+    # evaluation stage: frozen re-evaluation reproduces training's test
+    # metrics exactly (same checkpoints, same split_indices seed stream)
+    assert "evaluation" in outputs
+    eval_results = pd.read_csv(os.path.join(outputs["evaluation"], "results.csv"))
+    assert len(eval_results) == 3  # joint + syllable + tone
+    train_by_target = results.set_index("target")
+    eval_by_target = eval_results.set_index("target")
+    for target in ("syllable, tone", "syllable", "tone"):
+        assert eval_by_target.loc[target, "accuracy_all"] == (
+            train_by_target.loc[target, "accuracy_all"]
+        ), f"evaluation diverged from training on {target}"
+    assert os.path.exists(
+        os.path.join(
+            outputs["evaluation"], "figures/subject_1/confusion_matrix.png"
+        )
+    )
 
     # visualisation stage consumed the training + selection outputs
     assert "visualisation" in outputs
