@@ -489,6 +489,35 @@ def run(params: argparse.Namespace) -> Dict[str, Any]:
             mel=out["mel"],
             n_mels=np.asarray(mel_kwargs.get("n_mels", 128)),
         )
+        if "audio" in dataset:
+            # Ground-truth audio present: report synthesis quality
+            # (MCD dB + mel Pearson r, the PARITY/BASELINE metrics) of
+            # the decoded mels against the true mels — the reference can
+            # only produce these numbers by re-training
+            # (/root/reference/train_synthesizer.py:363-384).
+            from .training.synthesis_trainer import compute_mcd
+
+            true_mels = np.stack(
+                [
+                    audio_to_mel(
+                        a, params.audio_sampling_rate, mel_kwargs=mel_kwargs
+                    )
+                    for a in dataset["audio"]
+                ]
+            ).astype(np.float32)
+            if true_mels.shape == out["mel"].shape:
+                summary["mel_mcd"] = compute_mcd(true_mels, out["mel"])
+                summary["mel_pearson_r"] = float(
+                    np.corrcoef(
+                        out["mel"].ravel(), true_mels.ravel()
+                    )[0, 1]
+                )
+            else:
+                print(
+                    "WARNING: skipping mel quality metrics — ground-truth "
+                    f"mels {true_mels.shape} vs decoded {out['mel'].shape} "
+                    "(mel_kwargs mismatch with the training config?)"
+                )
         waves = decoder.synthesize_wavs(
             out["mel"], params.audio_sampling_rate, mel_kwargs,
             n=params.n_wavs,

@@ -184,6 +184,9 @@ def test_cli_run_writes_outputs(artifacts, tmp_path):
     assert summary["n_trials"] == N_TRIALS
     assert 0.0 <= summary["tone_accuracy"] <= 1.0
     assert summary["trial_latency_s"] > 0
+    # ground-truth audio in the npz -> synthesis quality metrics
+    assert summary["mel_mcd"] > 0.0
+    assert -1.0 <= summary["mel_pearson_r"] <= 1.0
 
     import csv as _csv
 
