@@ -765,7 +765,7 @@ def train_label_classifiers(workdir: str, outputs):
 
 
 def train_synth_ours(workdir: str, outputs, model: str, epochs: int,
-                     classifier_ckpts=None):
+                     classifier_ckpts=None, dtype=None):
     from decode_tonal_langauge_tpu.training import train_synthesizer
 
     cfg_path = _synth_config_path(workdir)
@@ -792,6 +792,8 @@ def train_synth_ours(workdir: str, outputs, model: str, epochs: int,
             "--tone_model_path", classifier_ckpts["tone"],
             "--syllable_model_path", classifier_ckpts["syllable"],
         ]
+    if dtype:
+        argv += ["--dtype", dtype]
     parser = train_synthesizer.build_parser()
     params = parser.parse_args(argv)
     t0 = time.perf_counter()
@@ -895,6 +897,21 @@ def main():
             )
             save()
         results["synth"] = True
+        save()
+
+    if wanted("synth_lite_bf16"):
+        # bf16 deliverable, synthesis side: the CLI-reachable --dtype
+        # flag at matched everything vs the f32 synth_lite cell.
+        if "label_classifiers" not in results:
+            results["label_classifiers"] = train_label_classifiers(
+                args.workdir, outputs
+            )
+            save()
+        results["synth_lite_bf16"] = train_synth_ours(
+            args.workdir, outputs, "SynthesisLite", epochs=60,
+            classifier_ckpts=results["label_classifiers"]["checkpoints"],
+            dtype="bfloat16",
+        )
         save()
 
     if not args.skip_torch_cnn and wanted("torch_cnn"):
