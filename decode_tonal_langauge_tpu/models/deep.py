@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.lstm import TimeBatchedLSTM
+from ..ops.stencil import StencilConvPoolLeaky
 from .base import conv_output_length
 
 
@@ -70,23 +71,29 @@ class CNNClassifier(nn.Module):
 
         widths = [512, 512, 512, 512, 512, 256]
         self.convs = [
+            # Block 0 sees ONE input channel — fused stencil conv + pool
+            # + leaky (ops/stencil.py), same param tree as the nn.Conv it
+            # replaces, skips the ~0.4 GB pre-pool HBM round trip.
+            StencilConvPoolLeaky(
+                widths[0], kernel_size=3, pool=2,
+                negative_slope=self.negative_slope, dtype=self.dtype,
+            )
+        ] + [
             nn.Conv(w, kernel_size=(3, 1), padding="VALID", dtype=self.dtype)
-            for w in widths
+            for w in widths[1:]
         ]
         self.dropout = nn.Dropout(self.dropout_rate)
         self.fc1 = nn.Dense(1024, dtype=self.dtype)
         self.fc2 = nn.Dense(self.n_classes, dtype=self.dtype)
 
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        # (B, C, T) -> (B, T, C, 1)
-        x = jnp.transpose(x, (0, 2, 1))[..., None].astype(self.dtype)
-
-        for i, conv in enumerate(self.convs):
+        # (B, C, T) -> (B, T, C): block 0 is the fused stencil; later
+        # blocks pool BEFORE the leaky-relu — bitwise identical (max
+        # commutes with the strictly increasing activation) at half the
+        # activation traffic (PROFILE.md).
+        x = self.convs[0](jnp.transpose(x, (0, 2, 1)))
+        for i, conv in enumerate(self.convs[1:], start=1):
             x = conv(x)
-            # Pool BEFORE the leaky-relu: bitwise identical (strictly
-            # increasing activation commutes with max) but the activation
-            # touches the half-size pooled tensor — pure HBM-traffic win
-            # on the ~0.5 GB conv activations (see PROFILE.md).
             if i != 4:  # block 5 has no pool
                 x = nn.max_pool(x, window_shape=(2, 1), strides=(2, 1))
             x = nn.leaky_relu(x, negative_slope=self.negative_slope)
@@ -124,8 +131,18 @@ class CNNRNNClassifier(nn.Module):
                 f"by input_length ({self.input_length})."
             )
         self.lstm1 = TimeBatchedLSTM(self.lstm_dim, dtype=self.dtype)
-        self.conv1 = nn.Conv(1024, kernel_size=(7, 1), padding="VALID", dtype=self.dtype)
-        self.conv2 = nn.Conv(1024, kernel_size=(7, 1), padding="VALID", dtype=self.dtype)
+        # Both branch-opening convs see ONE input channel and are the
+        # model's largest intermediates ((B, 194, C, 1024) is ~0.8 GB
+        # f32 pre-pool at batch 32) — fused stencil conv + pool + leaky
+        # (ops/stencil.py), same param tree as the nn.Conv versions.
+        self.conv1 = StencilConvPoolLeaky(
+            1024, kernel_size=7, pool=2,
+            negative_slope=self.negative_slope, dtype=self.dtype,
+        )
+        self.conv2 = StencilConvPoolLeaky(
+            1024, kernel_size=7, pool=2,
+            negative_slope=self.negative_slope, dtype=self.dtype,
+        )
         self.conv3a = nn.Conv(512, kernel_size=(7, 1), padding="VALID", dtype=self.dtype)
         self.conv3b = nn.Conv(256, kernel_size=(7, 1), padding="VALID", dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout)
@@ -142,20 +159,11 @@ class CNNRNNClassifier(nn.Module):
         seq = jnp.transpose(x, (0, 2, 1)).astype(self.dtype)  # (B, T, C)
         x1 = self.lstm1(seq)[:, -1, :]  # (B, lstm_dim)
 
-        def conv_pool(img, conv):
-            # pool-then-leaky: bitwise equal to leaky-then-pool
-            # (monotone), half the activation traffic (PROFILE.md)
-            img = conv(img)
-            img = nn.max_pool(img, window_shape=(2, 1), strides=(2, 1))
-            return nn.leaky_relu(img, negative_slope=self.negative_slope)
-
-        # Raw branch: (B, T, C, 1)
-        raw = seq[..., None]
-        raw = conv_pool(raw, self.conv1)  # (B, t, C, 1024)
+        # Raw branch: fused stencil conv + pool + leaky on (B, T, C).
+        raw = self.conv1(seq)  # (B, t, C, 1024)
 
         # LSTM branch: last state viewed as a (T, lstm_dim // T) image.
-        x1 = x1.reshape((b, t, self.lstm_dim // t))[..., None]
-        x1 = conv_pool(x1, self.conv2)  # (B, t, lstm_dim//T, 1024)
+        x1 = self.conv2(x1.reshape((b, t, self.lstm_dim // t)))
 
         xf = jnp.concatenate([x1, raw], axis=2)  # concat on width
 

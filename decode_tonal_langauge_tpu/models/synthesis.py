@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.lstm import TimeBatchedLSTM
+from ..ops.stencil import StencilConvPoolLeaky
 from .base import conv_output_length
 
 
@@ -63,7 +64,14 @@ class SynthesisModelCNN(nn.Module):
                 "n_timepoints too small for the SynthesisModelCNN conv stack."
             )
         self.ecog_convs = [
-            nn.Conv(512, kernel_size=(3, 1), padding="VALID", dtype=self.dtype),
+            # Block 0 has ONE input channel: the conv is K broadcast
+            # outer products, fused with its pool + activation into one
+            # elementwise kernel (ops/stencil.py; same param tree as the
+            # nn.Conv it replaces, ~5 ms/step faster f32).
+            StencilConvPoolLeaky(
+                512, kernel_size=3, pool=2,
+                negative_slope=self.negative_slope, dtype=self.dtype,
+            ),
             nn.Conv(512, kernel_size=(3, 1), padding="VALID", dtype=self.dtype),
             nn.Conv(512, kernel_size=(3, 1), padding="VALID", dtype=self.dtype),
             nn.Conv(256, kernel_size=(1, 1), padding="VALID", dtype=self.dtype),
@@ -82,15 +90,15 @@ class SynthesisModelCNN(nn.Module):
     ) -> jax.Array:
         b = inputs_ecog.shape[0]
 
-        # (B, C, T) -> (B, T, C, 1)
-        x = jnp.transpose(inputs_ecog, (0, 2, 1))[..., None].astype(self.dtype)
-        for i, conv in enumerate(self.ecog_convs):
+        # (B, C, T) -> (B, T, C): block 0 is the fused stencil (conv +
+        # pool + leaky in one elementwise kernel — the ~0.5 GB pre-pool
+        # conv activation never reaches HBM). Later blocks keep the
+        # pool-BEFORE-leaky order: bitwise identical (max commutes with
+        # the strictly increasing activation) at half the activation
+        # traffic (PROFILE.md).
+        x = self.ecog_convs[0](jnp.transpose(inputs_ecog, (0, 2, 1)))
+        for i, conv in enumerate(self.ecog_convs[1:], start=1):
             x = conv(x)
-            # Pool BEFORE the leaky-relu: bitwise identical (leaky_relu is
-            # strictly increasing, so max commutes with it) but the
-            # activation runs on the half-size pooled tensor — measured
-            # 17.1 -> 14.1 ms f32 on this stack's train step (the conv
-            # activations are ~0.5 GB; HBM traffic, not FLOPs, bounds it).
             if i != 4:  # the final conv block has no pool
                 x = nn.max_pool(x, window_shape=(2, 1), strides=(2, 1))
             x = nn.leaky_relu(x, negative_slope=self.negative_slope)

@@ -221,3 +221,85 @@ class TestComputeDtype:
             classifier_kwargs={"dtype": "bfloat16"},
         )
         assert model.dtype == jnp.bfloat16
+
+
+class TestStencilConv:
+    """ops/stencil.py: the fused C_in=1 first-layer conv must agree with
+    the nn.Conv + max_pool + leaky_relu chain it replaced, and keep the
+    exact param tree (checkpoint compatibility)."""
+
+    def test_matches_conv_pool_leaky_oracle(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from flax import linen as nn
+
+        from decode_tonal_langauge_tpu.ops.stencil import (
+            stencil_conv_pool_leaky,
+        )
+
+        for K, pool, T in ((3, 2, 21), (7, 2, 40), (3, 1, 10)):
+            x = jnp.asarray(
+                rng.standard_normal((2, T, 5)).astype(np.float32)
+            )
+            kernel = jnp.asarray(
+                rng.standard_normal((K, 1, 1, 8)).astype(np.float32)
+            )
+            bias = jnp.asarray(rng.standard_normal(8).astype(np.float32))
+            ref = jax.lax.conv_general_dilated(
+                x[..., None], kernel, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST,
+            ) + bias
+            if pool > 1:
+                ref = nn.max_pool(
+                    ref, window_shape=(pool, 1), strides=(pool, 1)
+                )
+            ref = nn.leaky_relu(ref, negative_slope=0.01)
+            got = stencil_conv_pool_leaky(
+                x, kernel, bias, pool=pool, negative_slope=0.01,
+                dtype=jnp.float32,
+            )
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5
+            )
+
+    def test_param_tree_matches_conv(self):
+        """The models' first conv block keeps the kernel/bias names and
+        shapes of the nn.Conv it replaced — old checkpoints load."""
+        import jax
+        import jax.numpy as jnp
+
+        from decode_tonal_langauge_tpu.models.deep import (
+            CNNClassifier,
+            CNNRNNClassifier,
+        )
+        from decode_tonal_langauge_tpu.models.synthesis import (
+            SynthesisModelCNN,
+        )
+
+        cnn = CNNClassifier(input_channels=4, input_length=200, n_classes=2)
+        p = cnn.init(
+            {"params": jax.random.key(0)},
+            jnp.zeros((1, 4, 200)), train=False,
+        )["params"]
+        assert p["convs_0"]["kernel"].shape == (3, 1, 1, 512)
+        assert p["convs_0"]["bias"].shape == (512,)
+
+        rnn = CNNRNNClassifier(
+            input_channels=4, input_length=100, n_classes=2, lstm_dim=400
+        )
+        p = rnn.init(
+            {"params": jax.random.key(0)},
+            jnp.zeros((1, 4, 100)), train=False,
+        )["params"]
+        assert p["conv1"]["kernel"].shape == (7, 1, 1, 1024)
+        assert p["conv2"]["kernel"].shape == (7, 1, 1, 1024)
+
+        syn = SynthesisModelCNN(output_dim=64, n_channels=4, n_timepoints=100)
+        p = syn.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            jnp.zeros((1, 4, 100)), jnp.zeros((1, 2, 10)), train=False,
+        )["params"]
+        assert p["ecog_convs_0"]["kernel"].shape == (3, 1, 1, 512)
+        assert p["ecog_convs_0"]["bias"].shape == (512,)
