@@ -116,24 +116,27 @@ def profile_synthesis(batch=32, channels=40, n_timepoints=200,
     results["full_step"] = dict(seconds=t, flops=f, params=p)
 
     # ---- ECoG conv branch only (LSTM replaced by a constant) ----
+    from decode_tonal_langauge_tpu.ops.stencil import StencilConvPoolLeaky
+
     class EcogOnly(nn.Module):
         @nn.compact
         def __call__(self, e):
-            m = SynthesisModelCNN(
-                output_dim=n_mel, n_channels=channels,
-                n_timepoints=n_timepoints, dtype=dtype,
-            )
             # reproduce the ecog branch + concat convs + head with a
-            # constant label latent: isolates conv/dense cost
+            # constant label latent: isolates conv/dense cost. Mirrors
+            # the production model incl. the fused stencil block 0 and
+            # the pool-before-activation order.
             b = e.shape[0]
-            x = jnp.transpose(e, (0, 2, 1))[..., None].astype(dtype)
-            for i in range(5):
+            x = StencilConvPoolLeaky(
+                512, kernel_size=3, pool=2, negative_slope=0.01,
+                dtype=dtype,
+            )(jnp.transpose(e, (0, 2, 1)))
+            for i in range(1, 5):
                 ch = [512, 512, 512, 256, 64][i]
                 k = (3, 1) if i < 3 else (1, 1)
                 x = nn.Conv(ch, kernel_size=k, padding="VALID", dtype=dtype)(x)
-                x = nn.leaky_relu(x, negative_slope=0.01)
                 if i != 4:
                     x = nn.max_pool(x, window_shape=(2, 1), strides=(2, 1))
+                x = nn.leaky_relu(x, negative_slope=0.01)
             x = nn.Dropout(0.5)(x, deterministic=False)
             x2 = jnp.zeros((b, latent_len, channels, 6), dtype)
             y = jnp.concatenate([x, x2], axis=-1)
