@@ -340,6 +340,8 @@ def bench_training_cnnrnn(batch: int = 32, channels: int = 32,
 
     Conv-bound, not LSTM-bound: the 1024-wide k=(7,1) stack dominates.
     No torch floor (it would add minutes of CPU)."""
+    import jax.numpy as jnp
+
     from decode_tonal_langauge_tpu.models.deep import CNNRNNClassifier
 
     rng = np.random.default_rng(0)
@@ -349,9 +351,18 @@ def bench_training_cnnrnn(batch: int = 32, channels: int = 32,
         input_channels=channels, input_length=length, n_classes=n_classes
     )
     per_step, flops = _scanned_train_step_time(model, x, y, n_runs=20)
+    model_bf16 = CNNRNNClassifier(
+        input_channels=channels, input_length=length, n_classes=n_classes,
+        dtype=jnp.bfloat16,
+    )
+    bf16_step, bf16_flops = _scanned_train_step_time(
+        model_bf16, x, y, n_runs=20
+    )
     return {
         "cnnrnn_steps_per_s": 1.0 / per_step,
         "cnnrnn_mfu": _mfu(flops, per_step),
+        "cnnrnn_bf16_steps_per_s": 1.0 / bf16_step,
+        "cnnrnn_bf16_mfu": _mfu(bf16_flops, bf16_step),
     }
 
 
@@ -846,6 +857,10 @@ def main():
                 "cnn_bf16_mfu": round(train["bf16_mfu"], 4),
                 "cnnrnn_train_steps_per_s": round(rnn["cnnrnn_steps_per_s"], 2),
                 "cnnrnn_mfu": round(rnn["cnnrnn_mfu"], 4),
+                "cnnrnn_bf16_steps_per_s": round(
+                    rnn["cnnrnn_bf16_steps_per_s"], 2
+                ),
+                "cnnrnn_bf16_mfu": round(rnn["cnnrnn_bf16_mfu"], 4),
                 "synthcnn_steps_per_s": round(synth["synthcnn_steps_per_s"], 2),
                 "synthcnn_mfu": round(synth["synthcnn_mfu"], 4),
                 "synthcnn_bf16_steps_per_s": round(
