@@ -244,11 +244,22 @@ def test_pipeline_cnn_bf16_config(tmp_path):
     tr["epochs"] = 1
     tr["patience"] = 1
     tr["batch_size"] = 8
+    # also cover evaluation of a bf16 checkpoint (the provenance
+    # model_kwargs dtype must reach the frozen predictor)
+    tr["save_checkpoints"] = True
+    config["evaluation"]["module"] = "evaluation_main"
     outputs = run_pipeline(config)
 
     results = pd.read_csv(os.path.join(outputs["training"], "results.csv"))
     assert (results["model_name"] == "cnn_bf16").all()
     assert np.isfinite(results["accuracy_mean"]).all()
+
+    eval_results = pd.read_csv(
+        os.path.join(outputs["evaluation"], "results.csv")
+    )
+    assert (
+        eval_results["accuracy_all"] == results["accuracy_all"]
+    ).all(), "bf16 evaluation diverged from the training-stage metrics"
 
 
 def test_full_pipeline(tmp_path):
