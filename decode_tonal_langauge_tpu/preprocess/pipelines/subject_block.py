@@ -119,7 +119,10 @@ def run(pipeline_params, io_params, io_module, preprocessor_module,
     supports_device = "device" in inspect.signature(
         preprocessor_module.preprocess_modalities
     ).parameters
-    if devices is not None and len(devices) > 1 and not supports_device:
+    # Demote for ANY devices list (even length 1 — e.g. a multi-process
+    # mesh with one local chip per host) or the plugin crashes on the
+    # unexpected kwarg.
+    if devices is not None and not supports_device:
         print(
             "preprocessor plugin takes no `device` argument; "
             "preprocessing single-device"

@@ -42,6 +42,12 @@ def run(config: dict) -> str:
     evaluation_cfg = config.get("evaluation", {})
 
     combined_cfg = {**flat_train, **dataset_cfg, **model_cfg, **evaluation_cfg}
+    # The evaluation section documents `metric_aggregates` as the
+    # results.csv aggregate columns; the results writer reads
+    # `aggregates` — alias it so the documented key is honored (the
+    # evaluation stage performs the same rename).
+    if "metric_aggregates" in combined_cfg and "aggregates" not in combined_cfg:
+        combined_cfg["aggregates"] = combined_cfg["metric_aggregates"]
     params = dict_to_namespace(
         combined_cfg, exclude_keys=["class_labels", "model_kwargs"]
     )

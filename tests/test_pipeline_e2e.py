@@ -280,6 +280,9 @@ def test_full_pipeline(tmp_path):
     # models, evaluation reloads them and must reproduce training's test
     # metrics without a gradient step.
     config["evaluation"]["module"] = "evaluation_main"
+    # The documented key is metric_aggregates; the training stage must
+    # honor it (aliased to the results-writer's `aggregates`)
+    config["evaluation"]["metric_aggregates"] = ["mean", "std", "max"]
     config["training"]["params"]["training"]["save_checkpoints"] = True
     outputs = run_pipeline(config)
 
@@ -308,6 +311,8 @@ def test_full_pipeline(tmp_path):
     # training wrote results.csv with joint + per-target rows
     results = pd.read_csv(os.path.join(outputs["training"], "results.csv"))
     assert len(results) == 3  # joint + syllable + tone
+    # the documented metric_aggregates key drove the aggregate columns
+    assert "accuracy_max" in results.columns
     joint = results.iloc[0]
     assert joint["target"] == "syllable, tone"
     # the synthetic labels are linearly decodable from the planted channels

@@ -334,6 +334,54 @@ def test_stage_custom_plugin_without_device_kwarg(tmp_path, capsys):
         del sys.modules["legacy_preprocessor"]
 
 
+def test_single_local_device_plugin_without_device_kwarg(tmp_path, capsys):
+    """Multi-process meshes hand the pipeline a LENGTH-1 local devices
+    list (one chip per host). A legacy plugin without the `device` kwarg
+    must be demoted — not crashed with an unexpected-kwarg TypeError —
+    in that case too (regression: the demotion used to trigger only for
+    len(devices) > 1)."""
+    import types
+
+    import jax
+
+    from decode_tonal_langauge_tpu.config import dict_to_namespace
+    from decode_tonal_langauge_tpu.preprocess.io import npz_blocks
+    from decode_tonal_langauge_tpu.preprocess import preprocessor
+    from decode_tonal_langauge_tpu.preprocess.pipelines import subject_block
+
+    legacy = types.ModuleType("legacy_preprocessor_one_dev")
+
+    def preprocess_modalities(data_dict, modalities_cfg, base_params,
+                              figure_dir=None):
+        return preprocessor.preprocess_modalities(
+            data_dict, modalities_cfg, base_params, figure_dir=figure_dir
+        )
+
+    legacy.preprocess_modalities = preprocess_modalities
+
+    spec = SyntheticSpec(n_channels=4, n_blocks=1, trials_per_block=2,
+                         ecog_sf=500.0, audio_sf=1000.0)
+    write_subject(str(tmp_path / "raw"), 1, spec)
+
+    pipeline_params = dict_to_namespace({
+        "subject_dirs": ["Sub1"],
+        "subject_ids": [1],
+        "figures": False,
+    })
+    io_params = dict_to_namespace({
+        "root_dir": str(tmp_path / "raw"),
+        "output_dir": str(tmp_path / "out"),
+    })
+    modalities_cfg = {"ecog": {"type": "signal"}, "audio": {"type": "signal"}}
+
+    setup_dir = subject_block.run(
+        pipeline_params, io_params, npz_blocks, legacy, modalities_cfg,
+        devices=[jax.devices()[0]],
+    )
+    assert os.path.exists(os.path.join(setup_dir, "subject_1", "B1_ecog.npz"))
+    assert "single-device" in capsys.readouterr().out
+
+
 class TestFusedChain:
     """preprocess_signal's one-dispatch fused path: numerics equal to the
     per-step eager path, cached across blocks, eager fallback for
