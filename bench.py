@@ -388,13 +388,13 @@ def bench_training_synthesis(batch: int = 32, channels: int = 40,
     )
     mel = jnp.asarray(rng.standard_normal((batch, n_mel)).astype(np.float32))
 
-    def measure(dtype):
+    def measure(dtype, moment_dtype=None):
         model = SynthesisModelCNN(output_dim=n_mel, n_channels=channels,
                                   n_timepoints=n_timepoints, dtype=dtype)
         params = model.init(
             {"params": jax.random.key(0)}, ecog, labels, train=False
         )["params"]
-        optimizer = nadam_with_decay_groups(5e-4)
+        optimizer = nadam_with_decay_groups(5e-4, moment_dtype=moment_dtype)
         opt_state = optimizer.init(params)
 
         def step(carry, _):
@@ -428,11 +428,18 @@ def bench_training_synthesis(batch: int = 32, channels: int = 40,
 
     per_step, flops = measure(jnp.float32)
     bf16_step, bf16_flops = measure(jnp.bfloat16)
+    # Full fast path: bf16 compute + bf16 NAdam moments (moment_dtype,
+    # optim.with_moment_dtype). The 101.8 M-param optimizer is an HBM
+    # floor (~5 ms f32, PROFILE.md); bf16 moments halve the mu/nu share
+    # of that traffic — measured 18.7 -> 17.1 ms on this step.
+    opt_step, opt_flops = measure(jnp.bfloat16, moment_dtype="bfloat16")
     return {
         "synthcnn_steps_per_s": 1.0 / per_step,
         "synthcnn_mfu": _mfu(flops, per_step),
         "synthcnn_bf16_steps_per_s": 1.0 / bf16_step,
         "synthcnn_bf16_mfu": _mfu(bf16_flops, bf16_step),
+        "synthcnn_bf16_opt_steps_per_s": 1.0 / opt_step,
+        "synthcnn_bf16_opt_mfu": _mfu(opt_flops, opt_step),
     }
 
 
@@ -867,6 +874,12 @@ def main():
                     synth["synthcnn_bf16_steps_per_s"], 2
                 ),
                 "synthcnn_bf16_mfu": round(synth["synthcnn_bf16_mfu"], 4),
+                "synthcnn_bf16_opt_steps_per_s": round(
+                    synth["synthcnn_bf16_opt_steps_per_s"], 2
+                ),
+                "synthcnn_bf16_opt_mfu": round(
+                    synth["synthcnn_bf16_opt_mfu"], 4
+                ),
                 "mel_frames_per_s": round(audio["mel_frames_per_s"], 1),
                 "mel_vs_numpy_cpu": round(audio["mel_speedup"], 2),
                 "griffinlim_wavs_per_s": round(

@@ -50,6 +50,7 @@ def _make_trainer(params: Namespace, model, n_classes: int, seed: int, log_dir):
         mesh=getattr(params, "mesh", None),
         verbose=getattr(params, "verbose", 1) > 1,
         scan_unroll=int(getattr(params, "scan_unroll", 1)),
+        moment_dtype=getattr(params, "moment_dtype", None),
     )
 
 
@@ -219,6 +220,7 @@ def _fit_eval_all_seeds(
         mesh=getattr(params, "mesh", None),
         verbose=getattr(params, "verbose", 1) > 1,
         scan_unroll=int(getattr(params, "scan_unroll", 1)),
+        moment_dtype=getattr(params, "moment_dtype", None),
     )
     results = spt.fit_eval(
         np.stack(tr_x), np.stack(tr_y),

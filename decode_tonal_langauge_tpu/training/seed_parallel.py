@@ -112,6 +112,7 @@ class SeedParallelTrainer:
         mesh: Optional[jax.sharding.Mesh] = None,
         verbose: bool = False,
         scan_unroll: int = 1,
+        moment_dtype: Optional[str] = None,
     ):
         self.seeds = [int(s) for s in seeds]
         self.mesh = mesh
@@ -127,6 +128,7 @@ class SeedParallelTrainer:
             seed=self.seeds[0],
             mesh=None,
             scan_unroll=scan_unroll,
+            moment_dtype=moment_dtype,
         )
 
     # ------------------------------------------------------------------

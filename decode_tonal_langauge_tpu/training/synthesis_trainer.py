@@ -88,6 +88,7 @@ class SynthesisTrainer:
         mesh=None,
         tone_scaler=None,
         syllable_scaler=None,
+        moment_dtype=None,
     ) -> None:
         self.model = synthesis_model
         self.tone_model = tone_model
@@ -119,13 +120,24 @@ class SynthesisTrainer:
         # synthesizer decays EVERY parameter — plain torch
         # ``NAdam(weight_decay=schedule_decay)``
         # (``/root/reference/models/synthesis_trainer.py:131-136``).
-        self.optimizer = optax.chain(
-            optax.add_decayed_weights(schedule_decay),
-            optax.nadam(learning_rate, b1=beta_1, b2=beta_2, eps=epsilon),
+        # `moment_dtype` (e.g. "bfloat16"): store the NAdam moments in
+        # reduced precision at rest. The 101.8 M-param paper model's
+        # optimizer is a pure HBM-bandwidth floor (~5 ms of the 22.5 ms
+        # f32 step, PROFILE.md); bf16 moments halve that state's traffic
+        # and footprint while the update math stays f32.
+        from .optim import with_moment_dtype
+
+        self.optimizer = with_moment_dtype(
+            optax.chain(
+                optax.add_decayed_weights(schedule_decay),
+                optax.nadam(learning_rate, b1=beta_1, b2=beta_2, eps=epsilon),
+            ),
+            moment_dtype,
         )
 
         self._opt_config = (
             learning_rate, beta_1, beta_2, epsilon, schedule_decay,
+            moment_dtype,
         )
         # Frozen-classifier identity captured BEFORE init() may rebind
         # the attributes to mesh-replicated copies — per-seed trainers

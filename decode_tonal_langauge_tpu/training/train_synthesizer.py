@@ -122,6 +122,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="Weight decay (the reference feeds its schedule_decay to "
         "NAdam's weight_decay).",
     )
+    parser.add_argument(
+        "--moment_dtype", type=str, default=None,
+        choices=["float32", "bfloat16"],
+        help="Store the NAdam moments in this dtype at rest (update math "
+        "stays f32). bfloat16 halves the 2x-params optimizer-state HBM "
+        "traffic and footprint; default keeps f32.",
+    )
     # ----- Full train-state checkpointing (SURVEY §5) -----
     parser.add_argument(
         "--train_state_dir", type=str, default=None,
@@ -339,6 +346,7 @@ def run(params: argparse.Namespace) -> dict:
             seed=seed,
             mesh=mesh,
             verbose=params.verbose > 0,
+            moment_dtype=getattr(params, "moment_dtype", None),
         )
 
     splits = [

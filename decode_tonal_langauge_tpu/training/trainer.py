@@ -92,6 +92,7 @@ class ClassifierTrainer:
         mesh: Optional[jax.sharding.Mesh] = None,
         verbose: bool = False,
         scan_unroll: int = 1,
+        moment_dtype: Optional[str] = None,
     ):
         # Unroll factor for the inner batch/eval scans: lets XLA fuse
         # across per-batch kernels of tiny models where loop overhead
@@ -109,7 +110,13 @@ class ClassifierTrainer:
         self.verbose = verbose
         self._learning_rate = learning_rate
         self._weight_decay = weight_decay
-        self.optimizer = nadam_with_decay_groups(learning_rate, weight_decay)
+        # `moment_dtype` (e.g. "bfloat16"): reduced-precision optimizer
+        # moments at rest — halves the NAdam state's HBM traffic and
+        # footprint for big models; see optim.with_moment_dtype.
+        self._moment_dtype = moment_dtype
+        self.optimizer = nadam_with_decay_groups(
+            learning_rate, weight_decay, moment_dtype=moment_dtype
+        )
 
         from ..parallel.mesh import DataParallelLayout
 
@@ -134,7 +141,7 @@ class ClassifierTrainer:
         return (
             type(self), self.model, self.n_classes, self.batch_size,
             self._learning_rate, self._weight_decay, self.mesh, self._has_bn,
-            self.scan_unroll,
+            self.scan_unroll, self._moment_dtype,
         )
 
     def __hash__(self):

@@ -187,9 +187,11 @@ def run_pipeline_stages(workdir: str):
 
 # ---------------------------------------------------------------------------
 def train_ours(workdir: str, outputs, model_path: str, model_name: str,
-               target: str, model_kwargs=None):
+               target: str, model_kwargs=None, training_extra=None):
     """One target through the production training stage (seed-parallel on
-    the attached device); returns (accuracy_all, wall_s)."""
+    the attached device); returns (accuracy_all, wall_s).
+    ``training_extra``: extra keys merged into the training section
+    (e.g. ``{"moment_dtype": "bfloat16"}``)."""
     import pandas as pd
 
     from decode_tonal_langauge_tpu.training import train_classifier
@@ -226,6 +228,7 @@ def train_ours(workdir: str, outputs, model_path: str, model_name: str,
                     "lr": 0.0005,
                     "patience": EPOCHS,
                     "standardize": True,
+                    **(training_extra or {}),
                 },
             },
         },
@@ -865,6 +868,20 @@ def main():
             model_kwargs={"dtype": "bfloat16"},
         )
         results["cnn_bf16"] = {"accuracy_all": accs, "wall_s": wall}
+        save()
+
+    if wanted("cnn_bf16_opt"):
+        # Full fast path: bf16 compute AND bf16 NAdam moments
+        # (training.moment_dtype) — quality must land within seed noise
+        # of the f32 `cnn` cell at matched data/splits/seeds.
+        accs, wall = train_ours(
+            args.workdir, outputs,
+            "models.deep_classifiers.CNNClassifier", "cnn_bf16_opt",
+            "syllable",
+            model_kwargs={"dtype": "bfloat16"},
+            training_extra={"moment_dtype": "bfloat16"},
+        )
+        results["cnn_bf16_opt"] = {"accuracy_all": accs, "wall_s": wall}
         save()
 
     if wanted("cnnrnn"):

@@ -128,6 +128,38 @@ class TestClassifierResume:
         # not actually part of the resumed state)
         assert not np.allclose(full_tail, broken_tail, rtol=1e-6)
 
+    def test_bf16_moments_resume_exactly(self, rng, tmp_path):
+        """moment_dtype='bfloat16' state round-trips through Orbax
+        bit-exactly: the resumed fit continues the uninterrupted bf16
+        trajectory (the reduced dtype must survive save/restore, not be
+        silently widened to a diverging f32 state)."""
+        import jax
+        import jax.numpy as jnp
+
+        x, y = _separable_data(rng)
+        tr, va = slice(0, 64), slice(64, 96)
+        model = LogisticRegressionClassifier(input_dim=4 * 16, n_classes=3)
+
+        full = _make_trainer(model, 3, 10, moment_dtype="bfloat16")
+        res_full = full.fit(x[tr], y[tr], x[va], y[va])
+
+        ckpt = str(tmp_path / "bf16_state")
+        first = _make_trainer(model, 3, 5, moment_dtype="bfloat16")
+        first.fit(x[tr], y[tr], x[va], y[va], checkpoint_dir=ckpt)
+
+        second = _make_trainer(model, 3, 10, moment_dtype="bfloat16")
+        res_resumed = second.fit(
+            x[tr], y[tr], x[va], y[va], checkpoint_dir=ckpt, resume=True
+        )
+
+        _histories_close(res_full.history, res_resumed.history)
+        restored_float = [
+            leaf
+            for leaf in jax.tree_util.tree_leaves(second.opt_state)
+            if jnp.issubdtype(leaf.dtype, jnp.floating)
+        ]
+        assert all(leaf.dtype == jnp.bfloat16 for leaf in restored_float)
+
     def test_early_stop_state_rides_checkpoint(self, rng, tmp_path):
         x, y = _separable_data(rng)
         tr, va = slice(0, 64), slice(64, 96)

@@ -74,6 +74,43 @@ class TestSynthesisTrainer:
         assert origin.shape == mels.shape
         assert np.isfinite(mcd)
 
+    def test_bf16_moments(self, rng):
+        """moment_dtype='bfloat16' stores the NAdam state reduced (the
+        102 M-param paper model's optimizer is an HBM floor — PROFILE.md)
+        and still trains: loss decreases as in the f32-state run."""
+        import jax
+        import jax.numpy as jnp
+
+        ecog_non, ecog_syll, ecog_tone, mels, _, _ = _toy_synthesis_data(rng)
+        c_cls, t = ecog_syll.shape[1], ecog_syll.shape[2]
+        tone_model = LogisticRegressionClassifier(input_dim=c_cls * t, n_classes=4)
+        syll_model = LogisticRegressionClassifier(input_dim=c_cls * t, n_classes=2)
+        tone_vars = tone_model.init(
+            {"params": jax.random.key(0)}, ecog_tone[:1], train=False
+        )
+        syll_vars = syll_model.init(
+            {"params": jax.random.key(1)}, ecog_syll[:1], train=False
+        )
+        model = SynthesisLite(
+            output_dim=mels.shape[1], n_channels=ecog_non.shape[1],
+            n_timepoints=t,
+        )
+        trainer = SynthesisTrainer(
+            model, tone_model, tone_vars, syll_model, syll_vars,
+            TONE_MAPPING, learning_rate=2e-3, seed=0, verbose=False,
+            moment_dtype="bfloat16",
+        )
+        data = (ecog_non, ecog_syll, ecog_tone, mels)
+        history = trainer.train(data, epochs=12, batch_size=8, verbose=False)
+        assert history[-1][0] < history[0][0]
+        float_leaves = [
+            leaf
+            for leaf in jax.tree_util.tree_leaves(trainer.opt_state)
+            if jnp.issubdtype(leaf.dtype, jnp.floating)
+        ]
+        assert float_leaves
+        assert all(leaf.dtype == jnp.bfloat16 for leaf in float_leaves)
+
     def test_mesh_parity(self, rng):
         """Meshed (DP over 8 virtual devices) and single-device training
         must produce the same loss curve."""

@@ -182,6 +182,37 @@ class TestTrainer:
         preds = trainer.predict(x[150:])
         assert (preds == y[150:]).mean() > 0.9
 
+    def test_bf16_moments_converge_and_are_stored_reduced(self, rng):
+        """moment_dtype='bfloat16' keeps the NAdam moments in bf16 at
+        rest (HBM-traffic/footprint feature for big models) while the
+        fit trajectory stays within quality noise of f32 state."""
+        import jax
+        import jax.numpy as jnp
+
+        x, y = _separable_data(rng)
+
+        def fit(moment_dtype):
+            model = LogisticRegressionClassifier(input_dim=4 * 20, n_classes=3)
+            trainer = ClassifierTrainer(
+                model, n_classes=3, learning_rate=5e-3, batch_size=32,
+                max_epochs=30, patience=10, seed=0,
+                moment_dtype=moment_dtype,
+            )
+            result = trainer.fit(x[:150], y[:150], x[150:], y[150:])
+            return trainer, result
+
+        trainer, result = fit("bfloat16")
+        float_leaves = [
+            leaf
+            for leaf in jax.tree_util.tree_leaves(trainer.opt_state)
+            if jnp.issubdtype(leaf.dtype, jnp.floating)
+        ]
+        assert float_leaves, "optimizer state has no floating leaves"
+        assert all(leaf.dtype == jnp.bfloat16 for leaf in float_leaves)
+        assert result.history[-1]["val/accuracy"] > 0.9
+        preds = trainer.predict(x[150:])
+        assert (preds == y[150:]).mean() > 0.9
+
     def test_early_stopping(self, rng):
         x, y = _separable_data(rng, n=80)
         model = LogisticRegressionClassifier(input_dim=4 * 20, n_classes=3)
