@@ -15,7 +15,9 @@ production pipeline (preprocess -> samples -> channel selection), then:
   CLI (MCD + mel Pearson r), plus a torch SynthesisLite trained on the
   SAME mels/dynamics/split.
 
-Emits PARITY.json next to the repo root.
+Emits parity_results.json inside --workdir (state is resumable per
+workdir); the repo-root PARITY.md / PARITY.json are curated from those
+runs, pass --out to write elsewhere.
 """
 
 from __future__ import annotations
@@ -957,10 +959,11 @@ def main():
         )
         save()
 
-    out_path = args.out or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "PARITY.json",
-    )
+    # Default output stays inside the workdir: the repo-root PARITY.json
+    # is a hand-curated multi-subject document ({meta, easy_subject,
+    # hard_subject}), and a partial --only run in a fresh workdir must
+    # not clobber it. Pass --out PARITY.json explicitly to overwrite.
+    out_path = args.out or os.path.join(args.workdir, "parity_results.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
