@@ -90,11 +90,15 @@ def _predict_target_seed(
 ):
     """Reproduce one (target, seed) test split and predict it frozen."""
     from ..runtime.checkpoint import load_params
+    from ..training.classifier_pipeline import checkpoint_name
 
+    # checkpoint_name is the SAME helper the training stage saves with,
+    # so the (subject, target, model, seed) keying can never drift —
+    # multi-subject runs each resolve their own subject's weights.
     ckpt = os.path.join(
         params.training_dir,
         "model_checkpoints",
-        f"{target_str}_{params.model_name}_seed_{seed}",
+        checkpoint_name(params, target_str, seed),
     )
     if not os.path.exists(ckpt):
         raise FileNotFoundError(
@@ -355,4 +359,10 @@ def run(config: dict) -> str:
             )
         _evaluate_subject(sp, seeds)
 
+    # Multi-host: fold per-process results.process<k>.csv shards into the
+    # canonical results.csv (save_and_plot_results writes shards whenever
+    # jax.process_count() > 1; no-op single-process).
+    from ..training.train_classifier import _merge_process_results
+
+    _merge_process_results(params.log_dir)
     return params.log_dir

@@ -74,13 +74,5 @@ def save_train_state(path: str, state: dict) -> str:
     return save_params(path, host_state)
 
 
-def load_train_state(path: str, like: dict) -> Any:
-    """Restore a state saved with :func:`save_train_state`.
-
-    ``like`` gives the pytree structure (optax states restore as plain
-    dicts without it, breaking ``optimizer.update``)."""
-    return load_params(path, like=like)
-
-
 def train_state_exists(path: str) -> bool:
     return os.path.isdir(os.path.abspath(path))

@@ -210,6 +210,10 @@ class TonalDecoder:
         from .utils.audio import mels_to_audio
 
         n = mels_flat.shape[0] if n is None else min(n, mels_flat.shape[0])
+        if n <= 0:
+            # --n_wavs 0 / empty mels: skip waveform synthesis (the
+            # batched reshape below rejects zero-row inputs).
+            return []
         waves = mels_to_audio(
             mels_flat[:n],
             n_mels=mel_kwargs.get("n_mels", 128),
@@ -301,15 +305,24 @@ def load_decoder(
             channel_selections,
             ["tone_discriminative", "syllable_discriminative"],
         )
+        # ONE restore: the checkpoint is authoritative for the output
+        # dim (head-bias shape); an explicit mel_dim only covers custom
+        # models without a known head.
+        synthesis_variables = load_params(synthesis_model_path)
+        inferred = _mel_dim_from_variables(synthesis_variables)
+        if inferred is not None:
+            mel_dim = inferred
         if mel_dim is None:
             raise ValueError(
-                "mel_dim is required when loading a synthesizer."
+                "could not determine the synthesizer output dim: the "
+                "checkpoint has no known output head (output_layer/fc2) "
+                "and no mel_dim was supplied (config mel_dim field, "
+                "or audio in the sample npz to probe)."
             )
         synthesis_model = build_synthesis_model(
             synthesis_model_name, mel_dim, len(non), n_timepoints,
             dtype=synthesis_dtype,
         )
-        synthesis_variables = load_params(synthesis_model_path)
 
     return TonalDecoder(
         tone_model,
@@ -325,16 +338,13 @@ def load_decoder(
     )
 
 
-def _mel_dim_from_checkpoint(path: str) -> Optional[int]:
-    """Synthesizer output dim from a checkpoint's head-bias shape.
+def _mel_dim_from_variables(restored) -> Optional[int]:
+    """Synthesizer output dim from restored variables' head-bias shape.
 
     Both synthesis models end in a Dense head — ``output_layer``
     (SynthesisModelCNN) / ``fc2`` (SynthesisLite); its bias length IS the
     flattened mel dim. Custom models without a known head return None and
     the caller falls back to config/audio probes."""
-    from .runtime.checkpoint import load_params
-
-    restored = load_params(path)
     params = restored.get("params", restored)
     for head in ("output_layer", "fc2"):
         if head in params and "bias" in params[head]:
@@ -397,27 +407,18 @@ def run(params: argparse.Namespace) -> Dict[str, Any]:
     mel_kwargs = dict(dataset_config.get("mel_kwargs", {}))
     mel_dim = None
     if params.synthesis_model_name:
-        # The synthesizer's output dim: checkpoint head-bias shape first
-        # (always present, no audio needed — NEW epochs being decoded
-        # won't carry ground-truth audio), then an explicit dataset
-        # config field, then a probe of the training audio if the npz
-        # happens to include it.
-        mel_dim = _mel_dim_from_checkpoint(params.synthesis_model_path)
-        if mel_dim is None:
-            mel_dim = dataset_config.get("mel_dim")
+        # The synthesizer's output dim: load_decoder reads it from the
+        # checkpoint's head-bias shape (always present, no audio needed —
+        # NEW epochs being decoded won't carry ground-truth audio). The
+        # config field / training-audio probe below are fallbacks for
+        # custom models without a known output head.
+        mel_dim = dataset_config.get("mel_dim")
         if mel_dim is None and "audio" in dataset:
             probe = audio_to_mel(
                 dataset["audio"][0], params.audio_sampling_rate,
                 mel_kwargs=mel_kwargs,
             )
             mel_dim = int(probe.size)
-        if mel_dim is None:
-            raise ValueError(
-                "could not determine the synthesizer output dim: the "
-                "checkpoint has no known output head (output_layer/fc2), "
-                "the config has no mel_dim field, and the sample npz "
-                "carries no audio to probe."
-            )
 
     from .parallel.mesh import mesh_from_config
 

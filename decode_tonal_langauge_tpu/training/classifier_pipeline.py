@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 from argparse import Namespace
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -54,6 +54,19 @@ def _make_trainer(params: Namespace, model, n_classes: int, seed: int, log_dir):
     )
 
 
+def checkpoint_name(params: Namespace, target_str: str, seed: int) -> str:
+    """Canonical per-(subject, target, model, seed) checkpoint name.
+
+    Single source of truth for the training stage's saves AND the
+    evaluation stage's loads — multi-subject runs would otherwise
+    overwrite each other in the shared ``model_checkpoints``/
+    ``train_state`` directories. The subject component is omitted when
+    ``params`` carries no ``subject_id`` (direct library use)."""
+    sid = getattr(params, "subject_id", None)
+    subject = f"subject_{sid}_" if sid is not None else ""
+    return f"{target_str}_{params.model_name}_{subject}seed_{seed}"
+
+
 def _fit_and_eval(
     params: Namespace,
     features: np.ndarray,
@@ -61,6 +74,7 @@ def _fit_and_eval(
     n_classes: int,
     seed: int,
     log_dir: str,
+    target_str: Optional[str] = None,
 ) -> Tuple[np.ndarray, np.ndarray, ClassifierTrainer]:
     """Split, train with early stopping, return (true, preds, trainer)."""
     tr_idx, va_idx, te_idx = split_indices(
@@ -88,13 +102,16 @@ def _fit_and_eval(
     # Full train-state checkpointing (SURVEY §5): training.params.training
     # keys train_state_dir / resume / checkpoint_every.
     ts_dir = getattr(params, "train_state_dir", None)
+    if target_str is None:
+        target_str = "_".join(getattr(params, "targets", []) or ["target"])
     trainer.fit(
         features[tr_idx], labels[tr_idx], features[va_idx], labels[va_idx],
         checkpoint_dir=(
-            os.path.join(
-                ts_dir,
-                f"{'_'.join(params.targets)}_{params.model_name}_seed_{seed}",
-            )
+            # checkpoint_name keys the state by (subject, target, model,
+            # seed): in separate_models mode each target's fit must NOT
+            # share a train-state path (resume would restore the other
+            # target's params into the wrong head).
+            os.path.join(ts_dir, checkpoint_name(params, target_str, seed))
             if ts_dir
             else None
         ),
@@ -125,9 +142,7 @@ def _maybe_save_checkpoint(
             "mu": np.asarray(scaler[0]), "sd": np.asarray(scaler[1])
         }
     save_params(
-        os.path.join(
-            model_dir, f"{target_str}_{params.model_name}_seed_{seed}"
-        ),
+        os.path.join(model_dir, checkpoint_name(params, target_str, seed)),
         tree,
     )
 
@@ -139,6 +154,7 @@ def _fit_eval_all_seeds(
     n_classes: int,
     seeds,
     log_dir_fn,
+    target_str: Optional[str] = None,
 ) -> List[SeedFitResult]:
     """All repeat seeds of one experiment, in seed order.
 
@@ -165,7 +181,8 @@ def _fit_eval_all_seeds(
         out: List[SeedFitResult] = []
         for seed in seeds:
             true, preds, trainer, scaler = _fit_and_eval(
-                params, features, labels, n_classes, seed, log_dir_fn(seed)
+                params, features, labels, n_classes, seed, log_dir_fn(seed),
+                target_str=target_str,
             )
             out.append(
                 SeedFitResult(
@@ -306,6 +323,7 @@ def train_separate_targets(
                 f"subject_{params.subject_id}",
                 f"seed_{seed}",
             ),
+            target_str=target,
         )
 
     for i, seed in enumerate(seeds):
@@ -410,6 +428,7 @@ def train_joint_targets(
             f"subject_{params.subject_id}",
             f"seed_{seed}",
         ),
+        target_str=target_name,
     )
 
     for i, seed in enumerate(seeds):

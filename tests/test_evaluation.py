@@ -145,6 +145,49 @@ def test_eval_matches_separate_targets_with_channels(tmp_path):
     _assert_rows_match(training_dir, eval_dir)
 
 
+def test_eval_multi_subject_resolves_each_subjects_model(tmp_path):
+    """Two subjects with DIFFERENT planted structure: checkpoints are
+    keyed by subject (checkpoint_name), so evaluation must reproduce
+    each subject's own training metrics — the regression here was a
+    subject-less checkpoint path, where subject 2's training overwrote
+    subject 1's weights and evaluation silently scored subject 1 with
+    subject 2's model."""
+    rng = np.random.default_rng(7)
+    sample_dir = tmp_path / "samples"
+    sample_dir.mkdir(parents=True)
+    n = 64
+    syll = np.tile([0, 1], n // 2)
+    tone = np.tile([0, 1, 2, 3], n // 4)
+    for sid, cols, sign in ((1, slice(0, 3), +4.0), (2, slice(3, 6), -4.0)):
+        x = rng.standard_normal((n, 6, 10)).astype(np.float32)
+        # Subject 2's discriminative channels AND direction differ, so
+        # the two trained models are genuinely different functions.
+        x[syll == 1, cols] += sign
+        np.savez(
+            sample_dir / f"subject_{sid}.npz",
+            ecog=x, ecog_sf=100.0, syllable=syll, tone=tone,
+        )
+    cfg = _train_config(tmp_path, str(sample_dir), repeat=2, separate=False)
+    training_dir = train_classifier.run(cfg)
+
+    ckpts = sorted(
+        os.listdir(os.path.join(training_dir, "model_checkpoints"))
+    )
+    assert any("subject_1" in c for c in ckpts)
+    assert any("subject_2" in c for c in ckpts)
+
+    eval_dir = _run_eval(training_dir, str(sample_dir))
+    tr = pd.read_csv(os.path.join(training_dir, "results.csv"))
+    ev = pd.read_csv(os.path.join(eval_dir, "results.csv"))
+    assert sorted(ev["subject"].tolist()) == sorted(tr["subject"].tolist())
+    for _, row in tr.iterrows():
+        match = ev[ev["subject"] == row["subject"]]
+        assert len(match) == 1
+        assert match.iloc[0]["accuracy_all"] == row["accuracy_all"], (
+            f"evaluation diverged from training for subject {row['subject']}"
+        )
+
+
 def test_eval_own_metrics_override(tmp_path):
     """The evaluation section's metric list wins over the training-time
     metrics — post-hoc evaluation of extra metrics."""

@@ -239,6 +239,78 @@ class TestPipelineResumeWiring:
             res_b[0].test_preds, res_full[0].test_preds
         )
 
+    def test_separate_targets_get_separate_train_states(self, rng, tmp_path):
+        """separate_models + train_state_dir: each target's fit must
+        checkpoint under its OWN (subject, target)-keyed path. The
+        regression here was a shared '_'.join(targets) path — the
+        syllable and tone fits (different n_classes, different head
+        shapes) overwrote each other's state, and a resumed run restored
+        the wrong target's params into the wrong model."""
+        import os
+
+        from decode_tonal_langauge_tpu.training import train_classifier
+
+        n = 64
+        x = np.asarray(rng.standard_normal((n, 6, 10)), dtype=np.float32)
+        syll = np.tile([0, 1], n // 2)
+        tone = np.tile([0, 1, 2, 3], n // 4)
+        x[syll == 1, :3] += 4.0
+        x[tone == 2, 3:] += 3.0
+        sample_dir = tmp_path / "samples"
+        sample_dir.mkdir()
+        np.savez(
+            sample_dir / "subject_1.npz",
+            ecog=x, ecog_sf=100.0, syllable=syll, tone=tone,
+        )
+        ts_dir = str(tmp_path / "train_state")
+
+        def config(epochs, resume):
+            return {
+                "model": {
+                    "model": (
+                        "models.simple_classifiers."
+                        "LogisticRegressionClassifier"
+                    ),
+                    "model_name": "logistic",
+                    "model_kwargs": {},
+                },
+                "training": {
+                    "module": "train_classifier",
+                    "params": {
+                        "io": {
+                            "log_dir": str(tmp_path / f"logs_{epochs}"),
+                            "sample_dir": str(sample_dir),
+                        },
+                        "experiment": {
+                            "targets": ["syllable", "tone"],
+                            "features": "ecog",
+                            "separate_models": True,
+                            "seed": 42, "repeat": 1, "verbose": 0,
+                        },
+                        "training": {
+                            "train_ratio": 0.6, "vali_ratio": 0.2,
+                            "test_ratio": 0.2, "batch_size": 8,
+                            "epochs": epochs, "lr": 0.01, "patience": 100,
+                            "train_state_dir": ts_dir, "resume": resume,
+                        },
+                    },
+                },
+                "evaluation": {"metrics": ["accuracy"]},
+            }
+
+        train_classifier.run(config(3, False))
+        state_dirs = sorted(os.listdir(ts_dir))
+        # One state per (target, seed) — NOT one shared syllable_tone path
+        assert len(state_dirs) == 2
+        assert any(d.startswith("syllable_") for d in state_dirs)
+        assert any(d.startswith("tone_") for d in state_dirs)
+        assert all("subject_1" in d for d in state_dirs)
+
+        # Resuming trains on: the tone fit restores TONE state (4-class
+        # head), not the syllable fit's 2-class params.
+        out = train_classifier.run(config(6, True))
+        assert os.path.exists(os.path.join(out, "results.csv"))
+
     def test_synthesizer_cli_resume(self, rng, tmp_path):
         import json
 

@@ -472,12 +472,11 @@ def test_synthesis_serving_without_audio(artifacts, tmp_path):
 
 
 def test_mel_dim_from_checkpoint(artifacts):
-    from decode_tonal_langauge_tpu.serving import _mel_dim_from_checkpoint
+    from decode_tonal_langauge_tpu.runtime.checkpoint import load_params
+    from decode_tonal_langauge_tpu.serving import _mel_dim_from_variables
 
-    assert (
-        _mel_dim_from_checkpoint(os.path.join(artifacts["root"], "synth_ckpt"))
-        == artifacts["mel_dim"]
-    )
+    restored = load_params(os.path.join(artifacts["root"], "synth_ckpt"))
+    assert _mel_dim_from_variables(restored) == artifacts["mel_dim"]
 
 
 def test_zero_trial_decode_rejected(artifacts):
