@@ -421,6 +421,29 @@ class SynthesisTrainer:
         history = np.asarray(restored["history"], np.float32).reshape(-1, 2)
         return rng, int(restored["epochs_done"]), history
 
+    def load_checkpoint(self, path: str) -> None:
+        """Frozen evaluation from a params-only checkpoint (the
+        ``--checkpoint_dir`` artifacts saved after a fit): restores
+        params/batch_stats and a fresh opt state so :meth:`evaluate`
+        (or a fine-tuning :meth:`train`) works without :meth:`init`.
+        Mesh placement mirrors ``init`` — replicate_tree is the identity
+        without a mesh."""
+        from ..runtime.checkpoint import load_params
+
+        restored = dict(load_params(path))
+        put = self._layout.replicate_tree
+        self.params = put(restored["params"])
+        self._has_bn = "batch_stats" in restored
+        self.batch_stats = put(restored["batch_stats"]) if self._has_bn else {}
+        self.opt_state = put(self.optimizer.init(self.params))
+        if self.mesh is not None:
+            self.tone_variables = put(self.tone_variables)
+            self.syllable_variables = put(self.syllable_variables)
+            if self.tone_scaler is not None:
+                self.tone_scaler = put(self.tone_scaler)
+            if self.syllable_scaler is not None:
+                self.syllable_scaler = put(self.syllable_scaler)
+
     def train(
         self,
         train_data: Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],

@@ -146,6 +146,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="Checkpoint the train state every N epochs (default: once "
         "at the end of the fit).",
     )
+    parser.add_argument(
+        "--evaluate_only", action="store_true",
+        help="No training: load each seed's synthesizer from "
+        "--checkpoint_dir, reproduce that seed's test split, and "
+        "recompute the test MCD / mel Pearson r rows (same results-CSV "
+        "schema as a fit). The evaluation-stage counterpart for the "
+        "synthesis path.",
+    )
     return parser
 
 
@@ -361,11 +369,18 @@ def run(params: argparse.Namespace) -> dict:
     # Full train-state checkpointing runs the sequential per-seed path
     # (the vmapped multi-seed fit has no per-seed resume granularity).
     train_state_dir = getattr(params, "train_state_dir", None)
+    evaluate_only = bool(getattr(params, "evaluate_only", False))
+    if evaluate_only and not getattr(params, "checkpoint_dir", None):
+        raise ValueError(
+            "--evaluate_only needs --checkpoint_dir pointing at the "
+            "synthesizer checkpoints a previous fit saved."
+        )
     seed_parallel = (
         bool(getattr(params, "seed_parallel", True))
         and len(seeds) > 1
         and mesh is None
         and not train_state_dir
+        and not evaluate_only
     )
     def _save_checkpoint(seed, model_params, model_batch_stats):
         if not getattr(params, "checkpoint_dir", None):
@@ -417,6 +432,31 @@ def run(params: argparse.Namespace) -> dict:
                         lambda leaf: leaf[i], trainer.stacked_batch_stats
                     ),
                 )
+    elif evaluate_only:
+        # Frozen re-evaluation (the synthesis counterpart of the
+        # pipeline's evaluation stage): each seed's split is reproduced
+        # from the SAME seed stream a fit uses, so the MCD / mel-r rows
+        # are bit-comparable with the training run's results CSV.
+        per_seed = []
+        for seed, idx_splits in zip(seeds, splits):
+            te_idx = idx_splits[-1]
+            trainer = make_trainer(int(seed))
+            ckpt = os.path.join(
+                params.checkpoint_dir,
+                f"{params.synthesis_model_name}_seed_{int(seed)}",
+            )
+            if not os.path.isdir(ckpt):
+                raise FileNotFoundError(
+                    f"Synthesizer checkpoint {ckpt} not found — run the "
+                    "fit with --checkpoint_dir first (and the same "
+                    "--seed/--repeat so the seed streams line up)."
+                )
+            trainer.load_checkpoint(ckpt)
+            mcd, recon_mels, origin_mels = trainer.evaluate(
+                tuple(arr[te_idx] for arr in arrays),
+                batch_size=params.batch_size,
+            )
+            per_seed.append((None, mcd, recon_mels, origin_mels))
     else:
         per_seed = []
         for seed, idx_splits in zip(seeds, splits):
@@ -492,7 +532,7 @@ def run(params: argparse.Namespace) -> dict:
     history, recon_mels, origin_mels = last
     n_mels = mel_kwargs.get("n_mels", 128)
 
-    if params.figure_dir:
+    if params.figure_dir and history is not None:
         plot_training_losses(
             history,
             labels=("L1 loss", "MCD"),

@@ -225,6 +225,90 @@ class TestSynthesizerCLI:
         df = pd.read_csv(tmp_path / "results.csv")
         assert len(df) == 2
 
+    def test_evaluate_only_reproduces_fit_metrics(self, rng, tmp_path):
+        """--evaluate_only reloads the --checkpoint_dir synthesizers,
+        reproduces each seed's test split from the same seed stream, and
+        must recompute the fit's MCD / mel Pearson r EXACTLY (frozen
+        predictions and the eval pass are deterministic) — the synthesis
+        counterpart of the pipeline's evaluation stage."""
+        import pandas as pd
+
+        n, c, t = 32, 10, 64
+        sr = 2000
+        sample_path = tmp_path / "subject_1.npz"
+        np.savez(
+            sample_path,
+            ecog=rng.standard_normal((n, c, t)).astype(np.float32),
+            ecog_sf=200.0,
+            audio=rng.standard_normal((n, 2048)).astype(np.float32),
+            audio_sf=sr,
+            tone=rng.integers(0, 4, n),
+            syllable=rng.integers(0, 2, n),
+        )
+        channel_file = tmp_path / "channels.json"
+        channel_file.write_text(json.dumps({
+            "active_channels": list(range(10)),
+            "tone_discriminative": [0, 1],
+            "syllable_discriminative": [2, 3],
+        }))
+        config_file = tmp_path / "config.json"
+        config_file.write_text(json.dumps({
+            "mel_kwargs": {"n_fft": 256, "hop_length": 128, "n_mels": 20},
+            "tone_dynamic_mapping": TONE_MAPPING,
+            "n_syllables": 2,
+            "n_tones": 4,
+        }))
+
+        common = [
+            "--sample_path", str(sample_path),
+            "--subject_id", "1",
+            "--channel_file", str(channel_file),
+            "--config_file", str(config_file),
+            "--model_name", "lite_test",
+            "--synthesis_model_name", "SynthesisLite",
+            "--syllable_model_name", "logistic",
+            "--tone_model_name", "logistic",
+            "--epochs", "2",
+            "--batch_size", "8",
+            "--repeat", "2",
+            "--seed_parallel", "0",
+            "--verbose", "0",
+            "--audio_sampling_rate", str(sr),
+            "--checkpoint_dir", str(tmp_path / "ckpts"),
+        ]
+        parser = train_synthesizer.build_parser()
+        fit = train_synthesizer.run(parser.parse_args(
+            common + ["--result_file", str(tmp_path / "fit.csv")]
+        ))
+        ev = train_synthesizer.run(parser.parse_args(
+            common + [
+                "--result_file", str(tmp_path / "eval.csv"),
+                "--evaluate_only",
+            ]
+        ))
+        assert ev["mcd_all"] == fit["mcd_all"]
+        assert ev["mel_pearson_r_mean"] == fit["mel_pearson_r_mean"]
+        assert ev["model_size"] == fit["model_size"]
+        # Same results-CSV schema either way.
+        assert list(pd.read_csv(tmp_path / "eval.csv").columns) == list(
+            pd.read_csv(tmp_path / "fit.csv").columns
+        )
+
+    def test_evaluate_only_requires_checkpoints(self, tmp_path):
+        parser = train_synthesizer.build_parser()
+        params = parser.parse_args([
+            "--sample_path", str(tmp_path / "missing.npz"),
+            "--subject_id", "1",
+            "--result_file", str(tmp_path / "r.csv"),
+            "--model_name", "m",
+            "--synthesis_model_name", "SynthesisLite",
+            "--syllable_model_name", "logistic",
+            "--tone_model_name", "logistic",
+            "--evaluate_only",
+        ])
+        with pytest.raises((ValueError, FileNotFoundError)):
+            train_synthesizer.run(params)
+
     def test_unknown_models_rejected(self):
         with pytest.raises(ValueError):
             train_synthesizer.build_classifier("nope", 2, 3, 10)
