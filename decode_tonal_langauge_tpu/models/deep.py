@@ -84,7 +84,14 @@ class CNNClassifier(nn.Module):
         ]
         self.dropout = nn.Dropout(self.dropout_rate)
         self.fc1 = nn.Dense(1024, dtype=self.dtype)
-        self.fc2 = nn.Dense(self.n_classes, dtype=self.dtype)
+        # The class head always computes in f32 (flax promotes the bf16
+        # activations against the f32 params): a bf16 head quantizes the
+        # logits to bf16's ~2^-8 grid and the sigmoid then produces EXACT
+        # top-2 ties (measured: 9/20 test trials on a trained model),
+        # making argmax flip between differently-compiled forwards — the
+        # training stage and the evaluation stage would disagree on the
+        # same checkpoint. The head is ~4k params; f32 here is free.
+        self.fc2 = nn.Dense(self.n_classes)
 
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         # (B, C, T) -> (B, T, C): block 0 is the fused stencil; later
@@ -101,7 +108,7 @@ class CNNClassifier(nn.Module):
 
         x = x.reshape((x.shape[0], -1))
         x = nn.leaky_relu(self.fc1(x), negative_slope=self.negative_slope)
-        return nn.sigmoid(self.fc2(x)).astype(jnp.float32)
+        return nn.sigmoid(self.fc2(x.astype(jnp.float32)))
 
 
 class CNNRNNClassifier(nn.Module):
@@ -147,7 +154,9 @@ class CNNRNNClassifier(nn.Module):
         self.conv3b = nn.Conv(256, kernel_size=(7, 1), padding="VALID", dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout)
         self.lstm2 = TimeBatchedLSTM(512, dtype=self.dtype)
-        self.head = nn.Dense(self.n_classes, dtype=self.dtype)
+        # f32 head: see CNNClassifier.fc2 — a bf16 head ties the sigmoid
+        # outputs on bf16's grid and argmax becomes compilation-dependent.
+        self.head = nn.Dense(self.n_classes)
 
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         b, c, t = x.shape
@@ -175,4 +184,4 @@ class CNNRNNClassifier(nn.Module):
         # (B, t', w, 256) -> (B, t', w*256)
         y = y.reshape((y.shape[0], y.shape[1], -1))
         y = self.lstm2(y)[:, -1, :]
-        return nn.sigmoid(self.head(y)).astype(jnp.float32)
+        return nn.sigmoid(self.head(y.astype(jnp.float32)))

@@ -222,6 +222,36 @@ class TestComputeDtype:
         )
         assert model.dtype == jnp.bfloat16
 
+    def test_bf16_class_head_has_f32_resolution(self, rng):
+        """The sigmoid head must compute in f32 even when dtype=bfloat16.
+
+        Regression: a bf16 head quantizes the logits to bf16's ~2^-8
+        grid, and on trained models the sigmoid outputs produced EXACT
+        top-2 ties (9/20 test trials measured) — argmax then flips
+        between differently-compiled forwards, so the evaluation stage
+        disagreed with the training stage on the same checkpoint. With
+        the f32 head, outputs must NOT all sit on the bf16 grid."""
+        for model in (
+            CNNClassifier(
+                input_channels=4, input_length=200, n_classes=4,
+                dtype=jnp.bfloat16,
+            ),
+            CNNRNNClassifier(
+                input_channels=4, input_length=200, n_classes=4,
+                lstm_dim=800, dtype=jnp.bfloat16,
+            ),
+        ):
+            x = jnp.asarray(rng.standard_normal((4, 4, 200)).astype(np.float32))
+            variables = model.init({"params": jax.random.key(0)}, x, train=False)
+            out = np.asarray(model.apply(variables, x, train=False))
+            on_grid = np.asarray(
+                jnp.asarray(out).astype(jnp.bfloat16).astype(jnp.float32)
+            )
+            assert (out != on_grid).any(), (
+                f"{type(model).__name__}: every output is exactly "
+                "bf16-representable — the head is computing in bf16"
+            )
+
 
 class TestStencilConv:
     """ops/stencil.py: the fused C_in=1 first-layer conv must agree with

@@ -240,9 +240,13 @@ def test_pipeline_cnn_bf16_config(tmp_path):
     }
     exp = config["training"]["params"]["experiment"]
     exp["targets"] = ["syllable"]
+    # repeat > 1: the evaluation stage must reproduce EVERY seed's
+    # metrics from the seed-parallel fit's checkpoints (regression for
+    # the bf16-head tie bug — at repeat 1 the mismatch never surfaced)
+    exp["repeat"] = 3
     tr = config["training"]["params"]["training"]
-    tr["epochs"] = 1
-    tr["patience"] = 1
+    tr["epochs"] = 2
+    tr["patience"] = 2
     tr["batch_size"] = 8
     # also cover evaluation of a bf16 checkpoint (the provenance
     # model_kwargs dtype must reach the frozen predictor)
