@@ -39,6 +39,13 @@ def run_pipeline(config_path_or_dict) -> Dict[str, str]:
         config = config_path_or_dict
     stage_outputs: Dict[str, str] = {}
 
+    # Persistent XLA compile cache (default on): re-runs skip the
+    # 100-230 s of jit compiles that dominate a fresh process's wall.
+    # YAML: `compilation_cache: false` disables, a string sets the dir.
+    from .runtime.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache(config.get("compilation_cache", True))
+
     # Multi-host bootstrap (no-op without a coordinator address); after
     # this, host_shard inside the stages splits subjects/blocks by
     # process.

@@ -1,0 +1,59 @@
+"""Persistent XLA compilation cache for the product entry points.
+
+The pipeline's wall time on a fresh process is dominated by jit
+compiles, not compute: the example preprocess chain alone recompiles
+~100-230 s of programs every run while the actual device work is
+milliseconds (BASELINE.md row 5e). JAX's persistent compilation cache
+survives process boundaries (measured on the tunneled TPU backend:
+0.62 s -> 0.02 s for a cold jit across two processes), so every CLI
+run after the first reuses the compiled executables for unchanged
+shapes/configs.
+
+The reference has no counterpart (torch eager pays no compiles); this
+is the TPU-native analogue of its "re-runs reuse hash-addressed stage
+outputs" philosophy applied to executables instead of artifacts.
+
+Enabled by default in ``pipeline.run_pipeline`` (YAML key
+``compilation_cache: <path|true|false>``), ``train_synthesizer`` and
+``serving`` (``--no_compilation_cache`` opts out). An existing
+``JAX_COMPILATION_CACHE_DIR`` env var or already-configured cache dir
+always wins, so tests and user setups are never clobbered.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Optional, Union
+
+
+def default_cache_dir() -> str:
+    return os.path.join(tempfile.gettempdir(), "decode_tonal_jax_cache")
+
+
+def enable_compilation_cache(
+    setting: Union[bool, str, None] = True,
+) -> Optional[str]:
+    """Point JAX's persistent compile cache at a directory.
+
+    ``setting``: ``False`` disables (leaves JAX untouched), a string is
+    an explicit directory (overrides everything), ``True``/``None``
+    enables the default location unless the environment or a previous
+    call already configured one. Returns the active cache dir (or None).
+    """
+    import jax
+
+    if setting is False:
+        return None
+
+    current = jax.config.jax_compilation_cache_dir
+    if isinstance(setting, str):
+        path = setting
+    elif current:
+        return current  # already configured (env var, conftest, user)
+    else:
+        path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or default_cache_dir()
+
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    return path

@@ -389,11 +389,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="Shard the decode batch over a `data` mesh of this many "
              "devices (params replicate).",
     )
+    p.add_argument(
+        "--no_compilation_cache", action="store_true",
+        help="Disable the persistent XLA compile cache (on by default; "
+             "re-runs with unchanged shapes skip all jit compiles).",
+    )
     return p
 
 
 def run(params: argparse.Namespace) -> Dict[str, Any]:
+    from .runtime.compilation_cache import enable_compilation_cache
     from .utils.audio import audio_to_mel, write_wav
+
+    enable_compilation_cache(
+        not getattr(params, "no_compilation_cache", False)
+    )
 
     with open(params.channel_file) as f:
         channel_selections = json.load(f)

@@ -154,6 +154,11 @@ def build_parser() -> argparse.ArgumentParser:
         "schema as a fit). The evaluation-stage counterpart for the "
         "synthesis path.",
     )
+    parser.add_argument(
+        "--no_compilation_cache", action="store_true",
+        help="Disable the persistent XLA compile cache (on by default; "
+        "re-runs with unchanged shapes skip all jit compiles).",
+    )
     return parser
 
 
@@ -232,6 +237,11 @@ def _init_classifier_variables(model, sample: np.ndarray, path: Optional[str], s
 
 def run(params: argparse.Namespace) -> dict:
     """Train the synthesizer; returns a summary dict (also appended to CSV)."""
+    from ..runtime.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache(
+        not getattr(params, "no_compilation_cache", False)
+    )
     if not os.path.exists(params.sample_path):
         raise FileNotFoundError(f"Data file '{params.sample_path}' does not exist.")
 

@@ -172,3 +172,51 @@ def test_set_seeds_contract():
     np.testing.assert_array_equal(a, b)
     k1, k2 = jax.random.split(key)
     assert k1.shape == key.shape
+
+
+class TestCompilationCache:
+    """runtime/compilation_cache.py: the persistent-compile-cache switch
+    wired into the pipeline runner and both CLIs (re-runs with unchanged
+    shapes must skip jit compiles; measured 0.62 s -> 0.02 s across
+    processes on the tunneled TPU backend)."""
+
+    def test_respects_existing_configuration(self):
+        # conftest points JAX at /tmp/jax_cache; the default-on product
+        # path must NOT clobber a user/test-configured cache dir.
+        import jax
+
+        from decode_tonal_langauge_tpu.runtime.compilation_cache import (
+            enable_compilation_cache,
+        )
+
+        before = jax.config.jax_compilation_cache_dir
+        assert before  # conftest configured it
+        assert enable_compilation_cache(True) == before
+        assert jax.config.jax_compilation_cache_dir == before
+
+    def test_false_disables_without_touching_config(self):
+        import jax
+
+        from decode_tonal_langauge_tpu.runtime.compilation_cache import (
+            enable_compilation_cache,
+        )
+
+        before = jax.config.jax_compilation_cache_dir
+        assert enable_compilation_cache(False) is None
+        assert jax.config.jax_compilation_cache_dir == before
+
+    def test_explicit_path_wins_and_creates_dir(self, tmp_path):
+        import jax
+
+        from decode_tonal_langauge_tpu.runtime.compilation_cache import (
+            enable_compilation_cache,
+        )
+
+        before = jax.config.jax_compilation_cache_dir
+        target = str(tmp_path / "xla_cache")
+        try:
+            assert enable_compilation_cache(target) == target
+            assert os.path.isdir(target)
+            assert jax.config.jax_compilation_cache_dir == target
+        finally:
+            jax.config.update("jax_compilation_cache_dir", before)
