@@ -825,10 +825,18 @@ def main():
                          "decode task non-saturated (use a fresh --workdir)")
     ap.add_argument("--epochs", type=int, default=None,
                     help="override the default classifier epochs (30)")
+    ap.add_argument("--seeds", type=int, default=None,
+                    help="override the ours-column seed count (12). The "
+                         "seed stream is a prefix-stable np.random.seed(42) "
+                         "draw, so larger counts extend the same seeds; "
+                         "torch cells always use the first 3.")
     args = ap.parse_args()
     if args.epochs:
         global EPOCHS
         EPOCHS = args.epochs
+    if args.seeds:
+        global N_OUR_SEEDS
+        N_OUR_SEEDS = args.seeds
     only = set(args.only.split(",")) if args.only else None
 
     os.makedirs(args.workdir, exist_ok=True)
