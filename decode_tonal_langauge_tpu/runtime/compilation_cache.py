@@ -15,9 +15,11 @@ outputs" philosophy applied to executables instead of artifacts.
 
 Enabled by default in ``pipeline.run_pipeline`` (YAML key
 ``compilation_cache: <path|true|false>``), ``train_synthesizer`` and
-``serving`` (``--no_compilation_cache`` opts out). An existing
-``JAX_COMPILATION_CACHE_DIR`` env var or already-configured cache dir
-always wins, so tests and user setups are never clobbered.
+``serving`` (``--no_compilation_cache`` opts out). Precedence: an
+explicit string (YAML/CLI dir) overrides everything; otherwise an
+already-configured cache dir (``JAX_COMPILATION_CACHE_DIR`` env var,
+test conftest, user code) wins over the built-in default, so existing
+setups are never clobbered.
 """
 
 from __future__ import annotations
@@ -28,7 +30,11 @@ from typing import Optional, Union
 
 
 def default_cache_dir() -> str:
-    return os.path.join(tempfile.gettempdir(), "decode_tonal_jax_cache")
+    # Per-user suffix: a fixed path in the shared tmp dir would collide
+    # across users (write failures at best, running another local
+    # user's planted executables at worst).
+    uid = os.getuid() if hasattr(os, "getuid") else "u"
+    return os.path.join(tempfile.gettempdir(), f"decode_tonal_jax_cache-{uid}")
 
 
 def enable_compilation_cache(
@@ -56,4 +62,9 @@ def enable_compilation_cache(
 
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
+    # JAX only persists compiles that take >= 1 s by default — which
+    # would skip exactly the many small programs whose re-compiles add
+    # up across a pipeline run. Persist everything.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return path

@@ -834,7 +834,13 @@ def main():
     if args.epochs:
         global EPOCHS
         EPOCHS = args.epochs
-    if args.seeds:
+    if args.seeds is not None:
+        if args.seeds < 3:
+            raise SystemExit(
+                "--seeds must be >= 3: the torch cells always use the "
+                "first 3 seeds of the stream, which must be a prefix of "
+                "the ours-column seeds for the comparison to hold."
+            )
         global N_OUR_SEEDS
         N_OUR_SEEDS = args.seeds
     only = set(args.only.split(",")) if args.only else None

@@ -84,6 +84,12 @@ def test_parallel_section_builds_a_mesh(path):
     if not parallel_cfg:
         pytest.skip(f"{path} has no parallel section")
     mesh = mesh_from_config(parallel_cfg)
-    # conftest forces an 8-device virtual CPU platform, so 'auto' must
-    # yield a real multi-device mesh here.
-    assert mesh is not None and mesh.devices.size == 8
+    # conftest forces an 8-device virtual CPU platform; 'auto' fills it,
+    # an explicit count must be honored exactly.
+    if isinstance(parallel_cfg, dict):
+        data = parallel_cfg.get("data", "auto")
+        model = int(parallel_cfg.get("model", 1))
+        expected = (8 // model) * model if data in ("auto", None) else int(data) * model
+    else:  # 'auto' / true shorthand
+        expected = 8
+    assert mesh is not None and mesh.devices.size == expected
