@@ -147,7 +147,10 @@ def _tree_leaves(tree):
 
 def _evaluate_subject(params: Namespace, seeds: np.ndarray) -> None:
     """All (target, seed) evaluations of one subject -> results.csv rows."""
-    from ..training.classifier_pipeline import save_and_plot_results
+    from ..training.classifier_pipeline import (
+        save_and_plot_results,
+        target_model_params,
+    )
 
     metrics = getattr(params, "metrics", ["accuracy"])
     separate = bool(getattr(params, "separate_models", False))
@@ -211,8 +214,11 @@ def _evaluate_subject(params: Namespace, seeds: np.ndarray) -> None:
             all_preds: Dict[str, np.ndarray] = {}
             for target in params.targets:
                 data = per_target[target]
+                # model.per_target: the same override the training stage
+                # applied, recovered from provenance — checkpoint names
+                # and architectures must match per target.
                 true, preds, n_params = _predict_target_seed(
-                    params,
+                    target_model_params(params, target),
                     data["features"].astype(np.float32),
                     data["labels"].astype(np.int32),
                     n_classes_dict[target],
@@ -271,6 +277,10 @@ def _evaluate_subject(params: Namespace, seeds: np.ndarray) -> None:
         result_info["individual_metrics"] = individual_metrics
         result_info["individual_confusion_matrix"] = individual_confusion_mat
         result_info["individual_class_labels"] = individual_class_labels
+        result_info["individual_model_names"] = {
+            t: target_model_params(params, t).model_name
+            for t in params.targets
+        }
 
     save_and_plot_results(params, result_info, confusion_mat, class_labels)
 
@@ -307,7 +317,7 @@ def run(config: dict) -> str:
         flat["aggregates"] = flat.pop("metric_aggregates")
 
     params = dict_to_namespace(
-        flat, exclude_keys=["class_labels", "model_kwargs"]
+        flat, exclude_keys=["class_labels", "model_kwargs", "per_target"]
     )
     params.training_dir = training_dir
     if getattr(params, "model_name", None) is None and "model" in flat:

@@ -54,6 +54,43 @@ def _make_trainer(params: Namespace, model, n_classes: int, seed: int, log_dir):
     )
 
 
+def target_model_params(params: Namespace, target: str) -> Namespace:
+    """Per-target model override (``model.per_target`` in the YAML).
+
+    The paper pairs DIFFERENT architectures per target — CNN for
+    syllables, CNN-RNN for tones — but the reference's training stage
+    applies its single ``model`` section to every target
+    (``/root/reference/train_classifier.py:23-34``), forcing one run
+    per architecture. In the separate-models regime this framework
+    accepts::
+
+        model:
+          model: models.deep_classifiers.CNNClassifier   # default
+          per_target:
+            tone:
+              model: models.deep_classifiers.CNNRNNClassifier
+              model_kwargs: {dtype: bfloat16}
+
+    Targets absent from ``per_target`` use the base section. The
+    evaluation stage applies the SAME helper to the provenance config,
+    so checkpoint names and frozen re-evaluation stay consistent.
+    Ignored (with a warning, in the caller) in joint mode — a single
+    model decodes the combined label there."""
+    overrides = getattr(params, "per_target", None) or {}
+    override = overrides.get(str(target))
+    if not override:
+        return params
+    tp = Namespace(**vars(params))
+    tp.model = override.get("model", params.model)
+    if override.get("model_name"):
+        tp.model_name = override["model_name"]
+    elif "model" in override:
+        tp.model_name = tp.model.split(".")[-1]
+    if "model_kwargs" in override:
+        tp.model_kwargs = override["model_kwargs"]
+    return tp
+
+
 def checkpoint_name(params: Namespace, target_str: str, seed: int) -> str:
     """Canonical per-(subject, target, model, seed) checkpoint name.
 
@@ -307,12 +344,17 @@ def train_separate_targets(
 
     # All seeds of each target fitted up front — one vmapped jit per
     # target when seed_parallel is on (shapes differ across targets, so
-    # the vmap axis is seeds, not targets).
+    # the vmap axis is seeds, not targets). Each target may carry its
+    # own architecture (model.per_target — e.g. the paper's CNN
+    # syllable + CNN-RNN tone pairing in ONE run).
     fits: Dict[str, List[SeedFitResult]] = {}
+    tparams_by_target = {
+        t: target_model_params(params, t) for t in params.targets
+    }
     for target in params.targets:
         data = all_data[target]
         fits[target] = _fit_eval_all_seeds(
-            params,
+            tparams_by_target[target],
             data["features"],
             data["labels"],
             n_classes_dict[target],
@@ -337,7 +379,7 @@ def train_separate_targets(
             all_preds[target] = preds
             model_size += res.n_params
             _maybe_save_checkpoint(
-                params,
+                tparams_by_target[target],
                 {"params": res.params, "batch_stats": res.batch_stats},
                 target,
                 int(seed),
@@ -379,6 +421,9 @@ def train_separate_targets(
         "individual_metrics": individual_metrics,
         "individual_confusion_matrix": individual_confusion_mat,
         "individual_class_labels": individual_class_labels,
+        "individual_model_names": {
+            t: tp.model_name for t, tp in tparams_by_target.items()
+        },
     }
     return result_info, confusion_mat, class_labels
 
@@ -388,6 +433,13 @@ def train_joint_targets(
 ) -> Tuple[Dict, np.ndarray, List[str]]:
     """Train a single model on the mixed-radix combined label."""
     verbose = getattr(params, "verbose", 1)
+    if getattr(params, "per_target", None):
+        import warnings
+
+        warnings.warn(
+            "model.per_target is ignored in joint mode (separate_models: "
+            "false) — a single model decodes the combined label."
+        )
 
     handler = ClassificationSampleHandler(params)
     data = handler.load_data()
@@ -498,7 +550,12 @@ def save_and_plot_results(
 
     def _build_row(metric_dict: Dict[str, list], target_label: str) -> dict:
         row = {
-            "model_name": params.model_name,
+            # per-target rows carry their own architecture's name when
+            # model.per_target overrides it; the joint row keeps the
+            # base section's name
+            "model_name": result_info.get("individual_model_names", {}).get(
+                target_label, params.model_name
+            ),
             "model_size": result_info.get("model_size"),
             "subject": params.subject_id,
             "target": target_label,

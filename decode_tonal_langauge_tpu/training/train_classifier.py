@@ -49,7 +49,10 @@ def run(config: dict) -> str:
     if "metric_aggregates" in combined_cfg and "aggregates" not in combined_cfg:
         combined_cfg["aggregates"] = combined_cfg["metric_aggregates"]
     params = dict_to_namespace(
-        combined_cfg, exclude_keys=["class_labels", "model_kwargs"]
+        combined_cfg,
+        # per_target: raw dict of per-target model overrides (nested
+        # model_kwargs must stay plain for the factory)
+        exclude_keys=["class_labels", "model_kwargs", "per_target"],
     )
 
     # Device parallelism from the top-level `parallel:` section (kept out

@@ -352,3 +352,65 @@ def test_full_pipeline(tmp_path):
     assert os.path.exists(
         os.path.join(outputs["visualisation"], "subject_1_channel_venn.png")
     )
+
+
+def test_pipeline_per_target_models(tmp_path):
+    """`model.per_target` pairs a different architecture per target in ONE
+    run (the paper's CNN-syllable + CNN-RNN-tone combination; the
+    reference needs one run per architecture): per-target rows carry
+    their own model_name, checkpoints key by it, and the evaluation
+    stage recovers the same overrides from provenance so the frozen
+    re-evaluation reproduces training's metrics exactly."""
+    spec = SyntheticSpec(
+        n_channels=8,
+        n_blocks=1,
+        trials_per_block=24,
+        ecog_sf=400.0,
+        audio_sf=800.0,
+        active_channels=tuple(range(8)),
+        tone_channels=(0, 1, 2, 3),
+        syllable_channels=(4, 5, 6, 7),
+    )
+    write_subject(str(tmp_path / "raw"), 1, spec)
+
+    config = _pipeline_config(tmp_path)
+    config["model"] = {
+        "model": "models.simple_classifiers.LogisticRegressionClassifier",
+        "model_name": "logistic",
+        "model_kwargs": {},
+        "per_target": {
+            "tone": {
+                "model": "models.simple_classifiers.ShallowNNClassifier",
+                "model_kwargs": {"hidden_dim": 16},
+            },
+        },
+    }
+    exp = config["training"]["params"]["experiment"]
+    exp["repeat"] = 2
+    tr = config["training"]["params"]["training"]
+    tr["save_checkpoints"] = True
+    config["evaluation"]["module"] = "evaluation_main"
+    outputs = run_pipeline(config)
+
+    results = pd.read_csv(os.path.join(outputs["training"], "results.csv"))
+    by_target = results.set_index("target")
+    assert by_target.loc["syllable", "model_name"] == "logistic"
+    assert by_target.loc["tone", "model_name"] == "ShallowNNClassifier"
+    assert by_target.loc["syllable, tone", "model_name"] == "logistic"
+
+    # checkpoints key by the per-target model name
+    ckpts = os.listdir(os.path.join(outputs["training"], "model_checkpoints"))
+    assert any(c.startswith("tone_ShallowNNClassifier_subject_1_seed_") for c in ckpts)
+    assert any(c.startswith("syllable_logistic_subject_1_seed_") for c in ckpts)
+
+    # the evaluation stage reproduces every (target, seed) metric exactly
+    eval_results = pd.read_csv(
+        os.path.join(outputs["evaluation"], "results.csv")
+    ).set_index("target")
+    for target in ("syllable, tone", "syllable", "tone"):
+        assert eval_results.loc[target, "accuracy_all"] == (
+            by_target.loc[target, "accuracy_all"]
+        ), f"evaluation diverged from training on {target}"
+        assert eval_results.loc[target, "model_name"] == (
+            by_target.loc[target, "model_name"]
+        )

@@ -76,6 +76,9 @@ def test_model_path_resolves(path):
         pytest.skip(f"{path} has no model section")
     cls = resolve_model_class(model_cfg["model"])
     assert isinstance(cls, type)
+    for override in (model_cfg.get("per_target") or {}).values():
+        if "model" in override:
+            assert isinstance(resolve_model_class(override["model"]), type)
 
 
 @pytest.mark.parametrize("path", CONFIGS, ids=IDS)
