@@ -27,6 +27,14 @@ results. CLI:
         --synthesis_model_name SynthesisLite --synthesis_model_path ckpt/syn \
         --output_dir decoded/ [--n_wavs 4] [--benchmark]
 
+or, pointing at a training-stage run directly (models, kwargs — incl.
+``model.per_target`` overrides — checkpoint paths, and the default
+channel file are recovered from its provenance ``config.yaml``):
+
+    python -m decode_tonal_langauge_tpu.serving \
+        --sample_path subject_1.npz --training_dir logs/cnn__abc123 \
+        --output_dir decoded/ [--seed 7270]
+
 Writes ``predictions.csv`` (per-trial predicted/true labels), ``mels.npz``
 (predicted mel spectrograms), and the first N reconstructed WAVs.
 """
@@ -358,12 +366,32 @@ def build_parser() -> argparse.ArgumentParser:
         description="Decode ECoG epochs with trained models (serving path)."
     )
     p.add_argument("--sample_path", type=str, required=True)
-    p.add_argument("--channel_file", type=str, required=True)
-    p.add_argument("--config_file", type=str, required=True)
-    p.add_argument("--tone_model_name", type=str, required=True)
-    p.add_argument("--tone_model_path", type=str, required=True)
-    p.add_argument("--syllable_model_name", type=str, required=True)
-    p.add_argument("--syllable_model_path", type=str, required=True)
+    p.add_argument("--channel_file", type=str, default=None)
+    p.add_argument("--config_file", type=str, default=None)
+    p.add_argument(
+        "--training_dir", type=str, default=None,
+        help="A training-stage output dir (save_checkpoints: true): the "
+             "classifier models, kwargs (incl. model.per_target "
+             "overrides), checkpoint paths, and default channel_file are "
+             "recovered from its provenance config.yaml — replaces the "
+             "four --*_model_name/--*_model_path flags.",
+    )
+    p.add_argument(
+        "--seed", type=int, default=None,
+        help="With --training_dir: which repeat seed's checkpoints to "
+             "serve (must be in the run's seed stream; default: the "
+             "first).",
+    )
+    p.add_argument(
+        "--subject_id", type=str, default=None,
+        help="With --training_dir: subject whose checkpoints to load "
+             "(default: parsed from the sample filename "
+             "'subject_<id>.npz').",
+    )
+    p.add_argument("--tone_model_name", type=str, default=None)
+    p.add_argument("--tone_model_path", type=str, default=None)
+    p.add_argument("--syllable_model_name", type=str, default=None)
+    p.add_argument("--syllable_model_path", type=str, default=None)
     p.add_argument("--synthesis_model_name", type=str, default=None)
     p.add_argument("--synthesis_model_path", type=str, default=None)
     p.add_argument(
@@ -397,6 +425,120 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _configure_from_training_dir(params: argparse.Namespace) -> Dict[str, Any]:
+    """Fill the classifier model/checkpoint flags from a training run.
+
+    Reads the run's provenance ``config.yaml`` (the same recovery the
+    evaluation stage performs) and resolves, per target, the model
+    dotted path / kwargs — including ``model.per_target`` overrides —
+    and the ``checkpoint_name``-keyed Orbax path. Returns the pieces of
+    a dataset config derivable from provenance (label counts), used
+    when no ``--config_file`` is given."""
+    from .config import dict_to_namespace, load_config
+    from .training.classifier_pipeline import (
+        checkpoint_name,
+        target_model_params,
+    )
+
+    cfg_path = os.path.join(params.training_dir, "config.yaml")
+    if not os.path.exists(cfg_path):
+        raise FileNotFoundError(
+            f"No config.yaml in {params.training_dir} — --training_dir "
+            "must point at a training-stage output directory."
+        )
+    provenance = load_config(cfg_path) or {}
+    train_cfg = (provenance.get("training", {}) or {}).get("params", {}) or {}
+    flat: Dict[str, Any] = {}
+    for section in ("io", "experiment", "training"):
+        flat.update(train_cfg.get(section, {}) or {})
+    flat.update(provenance.get("dataset", {}) or {})
+    flat.update(provenance.get("model", {}) or {})
+    ns = dict_to_namespace(
+        flat, exclude_keys=["class_labels", "model_kwargs", "per_target"]
+    )
+    if getattr(ns, "model_name", None) is None and "model" in flat:
+        ns.model_name = flat["model"].split(".")[-1]
+
+    targets = list(getattr(ns, "targets", []) or [])
+    if "tone" not in targets or "syllable" not in targets:
+        raise ValueError(
+            f"--training_dir run trained targets {targets}; serving needs "
+            "checkpoints for both 'tone' and 'syllable'."
+        )
+    if not getattr(ns, "separate_models", False):
+        raise ValueError(
+            "--training_dir points at a joint-model run (separate_models: "
+            "false); serving decodes per-target checkpoints — pass the "
+            "model flags explicitly for joint checkpoints."
+        )
+    if not getattr(ns, "save_checkpoints", False):
+        raise ValueError(
+            "--training_dir run did not save checkpoints "
+            "(training.save_checkpoints: true is required)."
+        )
+
+    subject = params.subject_id
+    if subject is None:
+        stem = os.path.basename(params.sample_path)
+        if stem.startswith("subject_") and stem.endswith(".npz"):
+            subject = stem[len("subject_"):-len(".npz")]
+        else:
+            raise ValueError(
+                "--subject_id is required with --training_dir when the "
+                "sample filename is not 'subject_<id>.npz'."
+            )
+
+    # The run's seed stream (reference scheme, same as train_classifier).
+    np.random.seed(getattr(ns, "seed", 42))
+    seeds = np.random.randint(0, 10000, getattr(ns, "repeat", 1))
+    seed = int(params.seed) if params.seed is not None else int(seeds[0])
+    if seed not in set(int(s) for s in seeds):
+        raise ValueError(
+            f"--seed {seed} is not in this run's seed stream "
+            f"{[int(s) for s in seeds]}."
+        )
+
+    for target, name_attr, path_attr, kwargs_attr in (
+        ("tone", "tone_model_name", "tone_model_path", "tone_model_kwargs"),
+        ("syllable", "syllable_model_name", "syllable_model_path",
+         "syllable_model_kwargs"),
+    ):
+        tp = target_model_params(ns, target)
+        tp.subject_id = subject
+        ckpt = os.path.join(
+            params.training_dir,
+            "model_checkpoints",
+            checkpoint_name(tp, target, seed),
+        )
+        if not os.path.exists(ckpt):
+            raise FileNotFoundError(f"Checkpoint {ckpt} not found.")
+        setattr(params, name_attr, tp.model)
+        setattr(params, path_attr, ckpt)
+        setattr(
+            params, kwargs_attr, getattr(tp, "model_kwargs", None) or None
+        )
+
+    if params.channel_file is None:
+        channel_dir = getattr(ns, "channel_selection_dir", None)
+        if channel_dir:
+            params.channel_file = os.path.join(
+                channel_dir, f"subject_{subject}.json"
+            )
+
+    # Dataset-config pieces derivable from provenance (classifier-only
+    # decode; a synthesizer decode should pass the synthesizer's
+    # --config_file for the real mel_kwargs / tone_dynamic_mapping).
+    return {
+        "n_tones": len(getattr(ns, "tone_labels", []) or []),
+        "n_syllables": len(getattr(ns, "syllable_labels", []) or []),
+        "tone_dynamic_mapping": {
+            str(i): [float(i)]
+            for i in range(len(getattr(ns, "tone_labels", []) or []))
+        },
+        "mel_kwargs": {},
+    }
+
+
 def run(params: argparse.Namespace) -> Dict[str, Any]:
     from .runtime.compilation_cache import enable_compilation_cache
     from .utils.audio import audio_to_mel, write_wav
@@ -405,10 +547,40 @@ def run(params: argparse.Namespace) -> Dict[str, Any]:
         not getattr(params, "no_compilation_cache", False)
     )
 
+    provenance_dataset_config = None
+    if getattr(params, "training_dir", None):
+        provenance_dataset_config = _configure_from_training_dir(params)
+    else:
+        missing = [
+            f"--{a}"
+            for a in ("tone_model_name", "tone_model_path",
+                      "syllable_model_name", "syllable_model_path",
+                      "channel_file")
+            if not getattr(params, a, None)
+        ]
+        if missing:
+            raise ValueError(
+                f"{', '.join(missing)} required (or pass --training_dir "
+                "to recover them from a training run's provenance)."
+            )
+
+    if params.channel_file is None:
+        raise ValueError(
+            "--channel_file required: the training provenance recorded no "
+            "channel_selection_dir to derive it from."
+        )
     with open(params.channel_file) as f:
         channel_selections = json.load(f)
-    with open(params.config_file) as f:
-        dataset_config = json.load(f)
+    if params.config_file:
+        with open(params.config_file) as f:
+            dataset_config = json.load(f)
+    elif provenance_dataset_config is not None:
+        dataset_config = provenance_dataset_config
+    else:
+        raise ValueError(
+            "--config_file required (or pass --training_dir to derive "
+            "label counts from the run's provenance)."
+        )
 
     dataset = np.load(params.sample_path)
     ecog = dataset["ecog"]
@@ -448,13 +620,9 @@ def run(params: argparse.Namespace) -> Dict[str, Any]:
         synthesis_model_name=params.synthesis_model_name,
         synthesis_model_path=params.synthesis_model_path,
         mel_dim=mel_dim,
-        tone_model_kwargs=(
-            json.loads(params.tone_model_kwargs)
-            if params.tone_model_kwargs else None
-        ),
-        syllable_model_kwargs=(
-            json.loads(params.syllable_model_kwargs)
-            if params.syllable_model_kwargs else None
+        tone_model_kwargs=_parse_model_kwargs(params.tone_model_kwargs),
+        syllable_model_kwargs=_parse_model_kwargs(
+            params.syllable_model_kwargs
         ),
         synthesis_dtype=params.synthesis_dtype,
         mesh=mesh,
@@ -550,6 +718,13 @@ def run(params: argparse.Namespace) -> Dict[str, Any]:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
     return summary
+
+
+def _parse_model_kwargs(value) -> Optional[Dict[str, Any]]:
+    """CLI passes a JSON string; --training_dir fills a plain dict."""
+    if not value:
+        return None
+    return value if isinstance(value, dict) else json.loads(value)
 
 
 def _measure_latency(decoder, ecog, channel_selections, n_runs: int = 20):

@@ -414,3 +414,49 @@ def test_pipeline_per_target_models(tmp_path):
         assert eval_results.loc[target, "model_name"] == (
             by_target.loc[target, "model_name"]
         )
+
+    # serving --training_dir: the per-target models, kwargs, checkpoint
+    # paths, and channel file are recovered from the run's provenance —
+    # no model flags needed.
+    from decode_tonal_langauge_tpu.serving import build_parser, run
+
+    served = str(tmp_path / "served")
+    summary = run(
+        build_parser().parse_args(
+            [
+                "--sample_path",
+                os.path.join(outputs["sample_collection"], "subject_1.npz"),
+                "--training_dir",
+                outputs["training"],
+                "--output_dir",
+                served,
+                "--n_wavs",
+                "0",
+            ]
+        )
+    )
+    assert summary["n_trials"] == 24
+    assert 0.0 <= summary["tone_accuracy"] <= 1.0
+    assert 0.0 <= summary["syllable_accuracy"] <= 1.0
+    assert os.path.exists(os.path.join(served, "predictions.csv"))
+
+    # a seed outside the run's stream is rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="seed stream"):
+        run(
+            build_parser().parse_args(
+                [
+                    "--sample_path",
+                    os.path.join(
+                        outputs["sample_collection"], "subject_1.npz"
+                    ),
+                    "--training_dir",
+                    outputs["training"],
+                    "--output_dir",
+                    served,
+                    "--seed",
+                    "1",
+                ]
+            )
+        )

@@ -503,3 +503,28 @@ def test_classifier_only_decode(artifacts, tmp_path):
     assert "n_wavs" not in summary
     assert not os.path.exists(os.path.join(out_dir, "mels.npz"))
     assert os.path.exists(os.path.join(out_dir, "predictions.csv"))
+
+
+def test_missing_model_flags_without_training_dir(artifacts, tmp_path):
+    args = build_parser().parse_args(
+        [
+            "--sample_path", artifacts["sample_path"],
+            "--channel_file", artifacts["channel_file"],
+            "--config_file", artifacts["config_file"],
+            "--output_dir", str(tmp_path / "out"),
+        ]
+    )
+    with pytest.raises(ValueError, match="--tone_model_name"):
+        run(args)
+
+
+def test_training_dir_requires_provenance(artifacts, tmp_path):
+    args = build_parser().parse_args(
+        [
+            "--sample_path", artifacts["sample_path"],
+            "--training_dir", str(tmp_path),  # no config.yaml here
+            "--output_dir", str(tmp_path / "out"),
+        ]
+    )
+    with pytest.raises(FileNotFoundError, match="config.yaml"):
+        run(args)
