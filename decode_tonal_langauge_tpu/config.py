@@ -127,3 +127,36 @@ def flatten_sections(cfg: Dict[str, Any], sections: Iterable[str]) -> Dict[str, 
     for section in sections:
         flat.update(cfg.get(section, {}) or {})
     return flat
+
+
+# Keys whose values must stay raw dicts/lists when a training config (or
+# its provenance) is namespaced: free-form mappings consumed as dicts.
+PROVENANCE_EXCLUDE_KEYS = ("class_labels", "model_kwargs", "per_target")
+
+
+def flatten_training_provenance(provenance: Dict[str, Any]) -> Dict[str, Any]:
+    """Flatten a training run's provenance config to the training stage's
+    params dict: io/experiment/training sections + dataset + model.
+
+    Single source of truth for the recovery that the evaluation stage and
+    ``serving --training_dir`` perform — all consumers MUST flatten
+    identically to ``train_classifier.run`` or checkpoint names and split
+    reproduction silently diverge from what was trained.
+    """
+    flat = flatten_sections(
+        (provenance.get("training", {}) or {}).get("params", {}) or {},
+        ("io", "experiment", "training"),
+    )
+    flat.update(provenance.get("dataset", {}) or {})
+    flat.update(provenance.get("model", {}) or {})
+    return flat
+
+
+def namespace_training_params(flat: Dict[str, Any]):
+    """``dict_to_namespace`` with the training exclude-keys and the
+    ``model_name`` fallback (class name of the model path) applied —
+    the same derivation ``train_classifier.run`` uses."""
+    params = dict_to_namespace(flat, exclude_keys=list(PROVENANCE_EXCLUDE_KEYS))
+    if getattr(params, "model_name", None) is None and "model" in flat:
+        params.model_name = flat["model"].split(".")[-1]
+    return params

@@ -38,7 +38,11 @@ from typing import Any, Dict, List
 
 import numpy as np
 
-from ..config import dict_to_namespace, load_config
+from ..config import (
+    flatten_training_provenance,
+    load_config,
+    namespace_training_params,
+)
 from ..data.sample_loading import ClassificationSampleHandler
 from ..data.splits import split_indices
 from ..models.factory import get_classifier_by_name
@@ -300,13 +304,9 @@ def run(config: dict) -> str:
     provenance = _load_training_provenance(training_dir)
 
     # Flatten the training run's provenance exactly like train_classifier
-    # does, so splits/model/seeds reproduce bit-for-bit.
-    train_cfg = (provenance.get("training", {}) or {}).get("params", {}) or {}
-    flat: Dict[str, Any] = {}
-    for section in ("io", "experiment", "training"):
-        flat.update(train_cfg.get(section, {}) or {})
-    flat.update(provenance.get("dataset", {}) or {})
-    flat.update(provenance.get("model", {}) or {})
+    # does (shared helper: config.flatten_training_provenance), so
+    # splits/model/seeds reproduce bit-for-bit.
+    flat = flatten_training_provenance(provenance)
     # metrics/aggregates: the evaluation stage's own section wins over the
     # training-time values, so users can evaluate extra metrics post hoc.
     flat.update(provenance.get("evaluation", {}) or {})
@@ -316,12 +316,8 @@ def run(config: dict) -> str:
     if "metric_aggregates" in flat and "aggregates" not in flat:
         flat["aggregates"] = flat.pop("metric_aggregates")
 
-    params = dict_to_namespace(
-        flat, exclude_keys=["class_labels", "model_kwargs", "per_target"]
-    )
+    params = namespace_training_params(flat)
     params.training_dir = training_dir
-    if getattr(params, "model_name", None) is None and "model" in flat:
-        params.model_name = flat["model"].split(".")[-1]
 
     # io threading: explicit evaluation io wins; fall back to the dirs the
     # training run recorded in its provenance.
@@ -340,8 +336,9 @@ def run(config: dict) -> str:
     os.makedirs(params.log_dir, exist_ok=True)
 
     # Same per-repeat seed stream as training (train_classifier.run).
-    np.random.seed(getattr(params, "seed", 42))
-    seeds = np.random.randint(0, 10000, getattr(params, "repeat", 1))
+    from ..utils.seeding import seed_stream
+
+    seeds = seed_stream(getattr(params, "seed", 42), getattr(params, "repeat", 1))
 
     subject_files = [
         f

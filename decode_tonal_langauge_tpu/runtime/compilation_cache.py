@@ -52,19 +52,29 @@ def enable_compilation_cache(
     if setting is False:
         return None
 
+    # JAX only persists compiles that take >= 1 s by default — which
+    # would skip exactly the many small programs whose re-compiles add
+    # up across a pipeline run. Persist everything, on EVERY enabled
+    # path (a user exporting only JAX_COMPILATION_CACHE_DIR would
+    # otherwise silently keep the 1 s floor); an explicit threshold env
+    # var still wins.
+    def _persist_everything():
+        if "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS" not in os.environ:
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        if "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES" not in os.environ:
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     current = jax.config.jax_compilation_cache_dir
     if isinstance(setting, str):
         path = setting
     elif current:
-        return current  # already configured (env var, conftest, user)
+        # dir already configured (env var, conftest, user code)
+        _persist_everything()
+        return current
     else:
         path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or default_cache_dir()
 
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    # JAX only persists compiles that take >= 1 s by default — which
-    # would skip exactly the many small programs whose re-compiles add
-    # up across a pipeline run. Persist everything.
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    _persist_everything()
     return path

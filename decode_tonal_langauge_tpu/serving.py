@@ -434,11 +434,32 @@ def _configure_from_training_dir(params: argparse.Namespace) -> Dict[str, Any]:
     and the ``checkpoint_name``-keyed Orbax path. Returns the pieces of
     a dataset config derivable from provenance (label counts), used
     when no ``--config_file`` is given."""
-    from .config import dict_to_namespace, load_config
+    from .config import (
+        flatten_training_provenance,
+        load_config,
+        namespace_training_params,
+    )
     from .training.classifier_pipeline import (
         checkpoint_name,
         target_model_params,
     )
+    from .utils.seeding import seed_stream
+
+    conflicting = [
+        f"--{a}"
+        for a in (
+            "tone_model_name", "tone_model_path", "tone_model_kwargs",
+            "syllable_model_name", "syllable_model_path",
+            "syllable_model_kwargs",
+        )
+        if getattr(params, a, None)
+    ]
+    if conflicting:
+        raise ValueError(
+            f"--training_dir recovers the classifier flags from provenance "
+            f"and would silently override {', '.join(conflicting)} — pass "
+            "either --training_dir or the explicit model flags, not both."
+        )
 
     cfg_path = os.path.join(params.training_dir, "config.yaml")
     if not os.path.exists(cfg_path):
@@ -446,18 +467,8 @@ def _configure_from_training_dir(params: argparse.Namespace) -> Dict[str, Any]:
             f"No config.yaml in {params.training_dir} — --training_dir "
             "must point at a training-stage output directory."
         )
-    provenance = load_config(cfg_path) or {}
-    train_cfg = (provenance.get("training", {}) or {}).get("params", {}) or {}
-    flat: Dict[str, Any] = {}
-    for section in ("io", "experiment", "training"):
-        flat.update(train_cfg.get(section, {}) or {})
-    flat.update(provenance.get("dataset", {}) or {})
-    flat.update(provenance.get("model", {}) or {})
-    ns = dict_to_namespace(
-        flat, exclude_keys=["class_labels", "model_kwargs", "per_target"]
-    )
-    if getattr(ns, "model_name", None) is None and "model" in flat:
-        ns.model_name = flat["model"].split(".")[-1]
+    flat = flatten_training_provenance(load_config(cfg_path) or {})
+    ns = namespace_training_params(flat)
 
     targets = list(getattr(ns, "targets", []) or [])
     if "tone" not in targets or "syllable" not in targets:
@@ -489,8 +500,7 @@ def _configure_from_training_dir(params: argparse.Namespace) -> Dict[str, Any]:
             )
 
     # The run's seed stream (reference scheme, same as train_classifier).
-    np.random.seed(getattr(ns, "seed", 42))
-    seeds = np.random.randint(0, 10000, getattr(ns, "repeat", 1))
+    seeds = seed_stream(getattr(ns, "seed", 42), getattr(ns, "repeat", 1))
     seed = int(params.seed) if params.seed is not None else int(seeds[0])
     if seed not in set(int(s) for s in seeds):
         raise ValueError(
@@ -525,15 +535,26 @@ def _configure_from_training_dir(params: argparse.Namespace) -> Dict[str, Any]:
                 channel_dir, f"subject_{subject}.json"
             )
 
-    # Dataset-config pieces derivable from provenance (classifier-only
-    # decode; a synthesizer decode should pass the synthesizer's
-    # --config_file for the real mel_kwargs / tone_dynamic_mapping).
+    # Dataset-config pieces derivable from provenance — classifier-only
+    # decode. A synthesizer decode MUST pass the synthesizer's
+    # --config_file: its tone_dynamic_mapping (the real multi-point
+    # contours the checkpoint was trained on) and mel_kwargs are not in
+    # the classifier provenance; the placeholder mapping below only
+    # feeds the (unused-for-labels) dynamics table. run() rejects the
+    # synthesis flags without --config_file.
+    n_tones = len(getattr(ns, "tone_labels", []) or [])
+    n_syllables = len(getattr(ns, "syllable_labels", []) or [])
+    if n_tones == 0 or n_syllables == 0:
+        raise ValueError(
+            "The training provenance records no tone_labels/"
+            "syllable_labels (dataset section) — pass --config_file with "
+            "n_tones/n_syllables to decode without them."
+        )
     return {
-        "n_tones": len(getattr(ns, "tone_labels", []) or []),
-        "n_syllables": len(getattr(ns, "syllable_labels", []) or []),
+        "n_tones": n_tones,
+        "n_syllables": n_syllables,
         "tone_dynamic_mapping": {
-            str(i): [float(i)]
-            for i in range(len(getattr(ns, "tone_labels", []) or []))
+            str(i): [float(i)] for i in range(n_tones)
         },
         "mel_kwargs": {},
     }
@@ -575,6 +596,13 @@ def run(params: argparse.Namespace) -> Dict[str, Any]:
         with open(params.config_file) as f:
             dataset_config = json.load(f)
     elif provenance_dataset_config is not None:
+        if params.synthesis_model_name or params.synthesis_model_path:
+            raise ValueError(
+                "a synthesizer decode needs --config_file (the "
+                "synthesizer's JSON: tone_dynamic_mapping contours + "
+                "mel_kwargs) — the classifier provenance only derives "
+                "label counts."
+            )
         dataset_config = provenance_dataset_config
     else:
         raise ValueError(

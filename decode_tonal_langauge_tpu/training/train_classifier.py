@@ -120,9 +120,12 @@ def run(config: dict) -> str:
         yaml.dump(merged_cfg, f)
 
     # Per-repeat seed stream drawn from the base seed (reference scheme:
-    # np.random.randint(0, 10000, repeat); train_classifier.py:92-93).
-    np.random.seed(getattr(params, "seed", 42))
-    seeds = np.random.randint(0, 10000, getattr(params, "repeat", 1))
+    # np.random.randint(0, 10000, repeat); train_classifier.py:92-93 —
+    # reproduced by utils.seeding.seed_stream without reseeding the
+    # process-global RNG).
+    from ..utils.seeding import seed_stream
+
+    seeds = seed_stream(getattr(params, "seed", 42), getattr(params, "repeat", 1))
 
     subject_filter = _prepare_subject_filter(params, subject_files)
 

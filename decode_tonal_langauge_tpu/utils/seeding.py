@@ -26,3 +26,16 @@ def set_seeds(seed: int):
 
     np.random.seed(seed)
     return jax.random.key(seed)
+
+
+def seed_stream(seed: int = 42, repeat: int = 1) -> np.ndarray:
+    """The reference's per-repeat seed draw, without global side effects.
+
+    The reference draws ``np.random.seed(seed); np.random.randint(0,
+    10000, repeat)`` (``/root/reference/train_classifier.py:92-93``),
+    reseeding the process-global stream as a side effect. A local
+    ``RandomState`` reproduces the identical legacy stream — training,
+    evaluation, and serving all derive the same seeds — while leaving
+    callers' global randomness alone.
+    """
+    return np.random.RandomState(seed).randint(0, 10000, repeat)

@@ -528,3 +528,16 @@ def test_training_dir_requires_provenance(artifacts, tmp_path):
     )
     with pytest.raises(FileNotFoundError, match="config.yaml"):
         run(args)
+
+
+def test_training_dir_conflicts_with_explicit_flags(artifacts, tmp_path):
+    args = build_parser().parse_args(
+        [
+            "--sample_path", artifacts["sample_path"],
+            "--training_dir", str(tmp_path),
+            "--tone_model_name", "logistic",
+            "--output_dir", str(tmp_path / "out"),
+        ]
+    )
+    with pytest.raises(ValueError, match="silently override"):
+        run(args)
