@@ -823,7 +823,43 @@ def bench_serving(batch: int = 32, channels: int = 32, length: int = 200,
     }
 
 
+def _require_backend(timeout_s: float = 240.0) -> None:
+    """Fail fast (rc=2 + a JSON error line) if device init hangs.
+
+    The tunneled backend HANGS inside backend init when the tunnel is
+    down (no error, ever) — without this watchdog a bench run stalls
+    forever instead of reporting. The probe runs on a daemon thread
+    because the hang is inside native code and cannot be interrupted;
+    ``os._exit`` is the only reliable escape.
+    """
+    import os
+    import threading
+
+    ready = threading.Event()
+
+    def probe():
+        import jax
+
+        jax.devices()
+        ready.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not ready.wait(timeout_s):
+        print(
+            json.dumps(
+                {
+                    "error": (
+                        f"device backend init did not complete within "
+                        f"{timeout_s:.0f}s — TPU tunnel down?"
+                    )
+                }
+            )
+        )
+        os._exit(2)
+
+
 def main():
+    _require_backend()
     pre = bench_preprocess()
     stage = bench_preprocess_stage()
     train = bench_training()
