@@ -220,3 +220,21 @@ class TestCompilationCache:
             assert jax.config.jax_compilation_cache_dir == target
         finally:
             jax.config.update("jax_compilation_cache_dir", before)
+
+
+def test_seed_stream_matches_reference_global_draw():
+    """seed_stream must reproduce the reference's np.random.seed +
+    randint draw bit-for-bit — training, evaluation, and serving all
+    key checkpoints by these seeds."""
+    import numpy as np
+
+    from decode_tonal_langauge_tpu.utils.seeding import seed_stream
+
+    np.random.seed(42)
+    reference_draw = np.random.randint(0, 10000, 6)
+    np.testing.assert_array_equal(seed_stream(42, 6), reference_draw)
+    # and it must NOT disturb the global stream
+    np.random.seed(7)
+    before = np.random.get_state()[1].copy()
+    seed_stream(123, 4)
+    np.testing.assert_array_equal(np.random.get_state()[1], before)
