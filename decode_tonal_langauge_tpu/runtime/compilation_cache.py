@@ -32,9 +32,18 @@ from typing import Optional, Union
 def default_cache_dir() -> str:
     # Per-user suffix: a fixed path in the shared tmp dir would collide
     # across users (write failures at best, running another local
-    # user's planted executables at worst).
+    # user's planted executables at worst). Per-backend suffix: runs on
+    # a tunneled/plugin backend compile their host-side CPU executables
+    # with different machine-feature preferences than plain-CPU runs —
+    # sharing one directory makes XLA load feature-mismatched entries
+    # (it warns about possible SIGILL).
     uid = os.getuid() if hasattr(os, "getuid") else "u"
-    return os.path.join(tempfile.gettempdir(), f"decode_tonal_jax_cache-{uid}")
+    import jax
+
+    backend = jax.default_backend()
+    return os.path.join(
+        tempfile.gettempdir(), f"decode_tonal_jax_cache-{uid}-{backend}"
+    )
 
 
 def enable_compilation_cache(
