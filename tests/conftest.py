@@ -35,6 +35,14 @@ import pytest
 def pytest_sessionstart(session):
     backend = jax.default_backend()
     assert backend == "cpu", f"tests must run on cpu, got {backend}"
+    # Hard-fail (not skip) if the virtual mesh is missing: the multi-device
+    # tests guard on 8 devices and would otherwise silently vanish from the
+    # suite if the XLA_FLAGS injection above ever stopped applying.
+    n = jax.device_count()
+    assert n >= 8, (
+        f"suite requires the virtual 8-device CPU mesh, got {n} — "
+        "xla_force_host_platform_device_count not applied?"
+    )
 
 
 @pytest.fixture(scope="session")

@@ -257,11 +257,54 @@ class TestGraftEntry:
         out = fn(*args)
         assert out.shape == (16, 2)
 
-    def test_dryrun_multichip(self, devices_8):
-        sys.path.insert(0, "/root/repo")
-        import __graft_entry__ as ge
+    def test_dryrun_multichip_tunnel_proof(self, tmp_path):
+        """The full dryrun must complete even when importing jax in the
+        PARENT would hang — the round-4 MULTICHIP failure, where the
+        tunneled backend's init hung with the tunnel down. Simulated by a
+        poisoned `jax` package first on PYTHONPATH that sleeps forever on
+        import: the parent must never import it (handoff to the clean CPU
+        child is decided by an env marker alone), and the child strips
+        PYTHONPATH so it gets the real jax."""
+        import os
+        import subprocess
 
-        ge.dryrun_multichip(8)
+        poison = tmp_path / "poison" / "jax"
+        poison.mkdir(parents=True)
+        poison.joinpath("__init__.py").write_text(
+            "import sys, time\n"
+            "print('POISONED-JAX-IMPORTED', flush=True)\n"
+            "time.sleep(600)\n"
+        )
+        env = dict(os.environ)
+        env["PYTHONPATH"] = f"{poison.parent}:/root/repo"
+        code = (
+            "import __graft_entry__ as ge\n"
+            "ge.dryrun_multichip(8)\n"
+            "print('DRYRUN-PARENT-OK')\n"
+        )
+        result = subprocess.run(
+            [sys.executable, "-c", code],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=520,
+        )
+        tail = result.stdout[-3000:] + result.stderr[-3000:]
+        assert result.returncode == 0, tail
+        assert "DRYRUN-PARENT-OK" in result.stdout, tail
+        assert "POISONED-JAX-IMPORTED" not in result.stdout, (
+            "the dryrun parent imported jax — a hanging backend init "
+            "would have killed it"
+        )
+        # every section ran and reported its wall time
+        for section in (
+            "sharded-train-step", "production-trainer", "seed-parallel",
+            "mesh-preprocess", "synthesis-trainer", "serving-decode",
+            "pipeline-e2e-parallel",
+        ):
+            assert f"[dryrun] section {section}: ok" in result.stdout, (
+                f"section {section} missing from dryrun output:\n{tail}"
+            )
 
 
 class TestMeshFromConfig:
