@@ -50,6 +50,16 @@ def initialize(
     if not explicit:
         return False
 
+    # jax.distributed.initialize only auto-reads JAX_COORDINATOR_ADDRESS
+    # from the environment; outside a recognised cluster (SLURM etc.) it
+    # then demands explicit num_processes/process_id. Honor the matching
+    # env vars so "set three env vars per host" is a complete launch
+    # recipe, as the pipeline docs promise.
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -39,16 +39,11 @@ def run_pipeline(config_path_or_dict) -> Dict[str, str]:
         config = config_path_or_dict
     stage_outputs: Dict[str, str] = {}
 
-    # Persistent XLA compile cache (default on): re-runs skip the
-    # 100-230 s of jit compiles that dominate a fresh process's wall.
-    # YAML: `compilation_cache: false` disables, a string sets the dir.
-    from .runtime.compilation_cache import enable_compilation_cache
-
-    enable_compilation_cache(config.get("compilation_cache", True))
-
-    # Multi-host bootstrap (no-op without a coordinator address); after
-    # this, host_shard inside the stages splits subjects/blocks by
-    # process.
+    # Multi-host bootstrap FIRST (no-op without a coordinator address):
+    # jax.distributed.initialize refuses to run once XLA is initialised,
+    # and enabling the compile cache with no explicit dir resolves
+    # jax.default_backend() — so the cache must wait its turn or every
+    # multi-host launch (JAX_COORDINATOR_ADDRESS set) dies at startup.
     from .parallel.distributed import initialize as distributed_initialize
 
     if distributed_initialize():
@@ -58,6 +53,13 @@ def run_pipeline(config_path_or_dict) -> Dict[str, str]:
             f"multi-host runtime: process {jax.process_index()} "
             f"of {jax.process_count()}"
         )
+
+    # Persistent XLA compile cache (default on): re-runs skip the
+    # 100-230 s of jit compiles that dominate a fresh process's wall.
+    # YAML: `compilation_cache: false` disables, a string sets the dir.
+    from .runtime.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache(config.get("compilation_cache", True))
 
     profiling_cfg = config.get("profiling") or {}
     trace_dir = profiling_cfg.get("trace_dir")

@@ -113,3 +113,62 @@ def test_two_process_initialize_and_collective(tmp_path):
         assert rc == 0, f"worker rc={rc}:\n{out}\n{err}"
     assert "WORKER_OK 0" in outs[0][1] + outs[1][1]
     assert "WORKER_OK 1" in outs[0][1] + outs[1][1]
+
+
+_PIPELINE_DIST_WORKER = """
+import sys
+sys.path.insert(0, {root!r})
+from decode_tonal_langauge_tpu.pipeline import run_pipeline
+
+# Stage-free config: exercises run_pipeline's STARTUP ordering only.
+# The regression (ADVICE r4, high): enable_compilation_cache ran before
+# the multi-host bootstrap; resolving the default cache dir touches
+# jax.default_backend(), initialising XLA, after which
+# jax.distributed.initialize refuses to run -- every env-var multi-host
+# launch crashed at startup under the default-on cache.
+run_pipeline({{"compilation_cache": True}})
+
+import jax
+assert jax.distributed.is_initialized(), "distributed runtime not initialised"
+assert jax.process_count() == 1, jax.process_count()
+assert jax.config.jax_compilation_cache_dir, "compile cache not enabled"
+print("PIPELINE_DIST_OK")
+"""
+
+
+def test_pipeline_startup_under_env_var_distributed_launch(tmp_path):
+    """run_pipeline with JAX_COORDINATOR_ADDRESS set must bring up the
+    distributed runtime FIRST and the (default-on) compile cache second —
+    and the JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars must complete the
+    launch recipe (jax itself only auto-reads the coordinator address)."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    holder = socket.socket()
+    holder.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+    holder.bind(("127.0.0.1", 0))
+    coord = f"127.0.0.1:{holder.getsockname()[1]}"
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_COORDINATOR_ADDRESS"] = coord
+    env["JAX_NUM_PROCESSES"] = "1"
+    env["JAX_PROCESS_ID"] = "0"
+
+    try:
+        result = subprocess.run(
+            [sys.executable, "-c", _PIPELINE_DIST_WORKER.format(root=repo_root)],
+            env=env,
+            cwd=repo_root,
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+    finally:
+        holder.close()
+    assert result.returncode == 0, result.stdout + result.stderr
+    assert "PIPELINE_DIST_OK" in result.stdout
