@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import os
 from argparse import Namespace
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 
@@ -149,6 +149,34 @@ def _tree_leaves(tree):
     return jax.tree_util.tree_leaves(tree)
 
 
+def _n_classes_from_checkpoint(
+    params: Namespace, target_str: str, seed: int
+) -> Optional[int]:
+    """Class-head size from the trained checkpoint's own bias shape.
+
+    Mirrors serving's ``_mel_dim_from_variables``: every shipped
+    classifier ends in a Dense head (``linear`` / ``output`` / ``fc2`` /
+    ``head``) whose bias length IS ``n_classes``. Returns None (caller
+    falls back to the eval-data-derived count) for missing checkpoints
+    or custom architectures without a known head name."""
+    from ..runtime.checkpoint import load_params
+    from ..training.classifier_pipeline import checkpoint_name
+
+    ckpt = os.path.join(
+        params.training_dir,
+        "model_checkpoints",
+        checkpoint_name(params, target_str, seed),
+    )
+    if not os.path.exists(ckpt):
+        return None
+    restored = dict(load_params(ckpt))
+    tree = restored.get("params", restored)
+    for head in ("linear", "output", "fc2", "head"):
+        if head in tree and "bias" in tree[head]:
+            return int(np.asarray(tree[head]["bias"]).shape[0])
+    return None
+
+
 def _evaluate_subject(params: Namespace, seeds: np.ndarray) -> None:
     """All (target, seed) evaluations of one subject -> results.csv rows."""
     from ..training.classifier_pipeline import (
@@ -183,7 +211,18 @@ def _evaluate_subject(params: Namespace, seeds: np.ndarray) -> None:
     else:
         handler = ClassificationSampleHandler(params)
         data = handler.load_data()
-        n_classes = len(np.unique(data["labels"]))
+        # Joint head size comes from the CHECKPOINT, not the eval-time
+        # data (ADVICE r4): len(np.unique(labels)) undercounts whenever a
+        # combined class is absent from the evaluated subset, and the
+        # rebuilt head would then be smaller than the checkpointed one.
+        joint_name = (
+            "_".join(params.targets)
+            if len(params.targets) > 1
+            else params.targets[0]
+        )
+        n_classes = _n_classes_from_checkpoint(
+            params, joint_name, int(seeds[0])
+        ) or len(np.unique(data["labels"]))
         class_labels = handler.prepare_class_labels(data["n_classes_dict"])
 
     metric_values: Dict[str, List[float]] = {

@@ -214,6 +214,18 @@ def _fit_eval_all_seeds(
         and len(seeds) > 1
         and not getattr(params, "train_state_dir", None)
     )
+    if (
+        not use_seed_parallel
+        and getattr(params, "seed_parallel", True)
+        and len(seeds) > 1
+        and getattr(params, "train_state_dir", None)
+    ):
+        # YAML users setting train_state_dir would otherwise see a large
+        # unexplained slowdown (ADVICE r4): say why the fast path is off.
+        print(
+            "train_state_dir set: per-seed checkpoint/resume requires the "
+            "sequential trainer, so seed_parallel is disabled for this run"
+        )
     if not use_seed_parallel:
         out: List[SeedFitResult] = []
         for seed in seeds:

@@ -220,3 +220,33 @@ def test_eval_requires_checkpoints(tmp_path):
 def test_eval_requires_training_dir():
     with pytest.raises(ValueError, match="training_dir"):
         evaluation_main.run({"evaluation": {"params": {"io": {}}}})
+
+
+def test_eval_joint_head_size_from_checkpoint_not_eval_data(tmp_path):
+    """Joint regime evaluated on a SUBSET missing one combined class
+    (ADVICE r4): the joint head must be rebuilt at the checkpoint's size
+    (head-bias length), not len(np.unique(labels)) of the evaluated data
+    — the smaller rebuilt head otherwise fails the frozen reload."""
+    sample_dir = _make_samples(tmp_path)
+    cfg = _train_config(
+        tmp_path, sample_dir, repeat=1, separate=False,
+        targets=("syllable", "tone"),
+    )
+    training_dir = train_classifier.run(cfg)
+
+    full = np.load(os.path.join(sample_dir, "subject_1.npz"))
+    keep = ~((full["syllable"] == 1) & (full["tone"] == 3))
+    assert keep.sum() < full["syllable"].shape[0]  # a class truly vanished
+    subset_dir = tmp_path / "samples_subset"
+    subset_dir.mkdir()
+    np.savez(
+        subset_dir / "subject_1.npz",
+        ecog=full["ecog"][keep],
+        ecog_sf=100.0,
+        syllable=full["syllable"][keep],
+        tone=full["tone"][keep],
+    )
+
+    eval_dir = _run_eval(training_dir, str(subset_dir))
+    ev = pd.read_csv(os.path.join(eval_dir, "results.csv"))
+    assert np.isfinite(ev["accuracy_mean"]).all()

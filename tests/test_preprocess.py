@@ -458,3 +458,91 @@ class TestFusedChain:
         )
         np.testing.assert_allclose(np.asarray(out), data * 2.0)
         assert freq == 400.0
+
+
+class TestTDTBackend:
+    """Exercise the TDT tank reader against a stub `tdt` module (the real
+    package reads proprietary hardware tanks and is not in this image).
+    Contract: ``/root/reference/preprocess/io/tdt_blocks.py:6-35`` —
+    stream EOG1 is the ECoG, the FIRST ANIN row is the audio, and
+    save_block writes ``subject_<id>/B<block>_<mod>.npz`` with
+    ``{data, sf}``."""
+
+    def _stub_tdt(self, monkeypatch, ecog, audio, ecog_fs, audio_fs):
+        import sys
+        import types
+
+        class _Stream:
+            def __init__(self, data, fs):
+                self.data = data
+                self.fs = fs
+
+        class _Streams:
+            pass
+
+        streams = _Streams()
+        streams.EOG1 = _Stream(ecog, ecog_fs)
+        streams.ANIN = _Stream(audio, audio_fs)
+        block = types.SimpleNamespace(streams=streams)
+
+        stub = types.ModuleType("tdt")
+        calls = []
+
+        def read_block(path):
+            calls.append(path)
+            return block
+
+        stub.read_block = read_block
+        monkeypatch.setitem(sys.modules, "tdt", stub)
+        return calls
+
+    def test_load_block_stream_selection(self, monkeypatch, rng):
+        from decode_tonal_langauge_tpu.preprocess.io import tdt_blocks
+
+        ecog = rng.standard_normal((8, 100)).astype(np.float32)
+        audio = rng.standard_normal((4, 200)).astype(np.float32)
+        calls = self._stub_tdt(monkeypatch, ecog, audio, 3051.76, 24414.0)
+
+        data = tdt_blocks.load_block("/fake/tank/HS1-B2")
+        assert calls == ["/fake/tank/HS1-B2"]
+        np.testing.assert_array_equal(data["ecog"], ecog)
+        # audio keeps ONLY the first ANIN row, still 2-D (1, T)
+        np.testing.assert_array_equal(data["audio"], audio[:1, :])
+        assert data["audio"].shape == (1, 200)
+        assert data["ecog_sf"] == 3051.76
+        assert data["audio_sf"] == 24414.0
+
+    def test_save_block_npz_schema(self, monkeypatch, tmp_path, rng):
+        from decode_tonal_langauge_tpu.preprocess.io import tdt_blocks
+
+        ecog = rng.standard_normal((3, 50)).astype(np.float32)
+        audio = rng.standard_normal((4, 80)).astype(np.float32)
+        self._stub_tdt(monkeypatch, ecog, audio, 400.0, 800.0)
+        data = tdt_blocks.load_block("/fake/tank/HS7-B3")
+
+        tdt_blocks.save_block(str(tmp_path), 7, 3, data)
+        sub = tmp_path / "subject_7"
+        for mod, expect in (("ecog", ecog), ("audio", audio[:1, :])):
+            f = np.load(sub / f"B3_{mod}.npz")
+            assert set(f.files) == {"data", "sf"}
+            np.testing.assert_array_equal(f["data"], expect)
+        assert float(np.load(sub / "B3_ecog.npz")["sf"]) == 400.0
+        assert float(np.load(sub / "B3_audio.npz")["sf"]) == 800.0
+
+    def test_missing_tdt_package_errors_clearly(self, monkeypatch):
+        import builtins
+        import sys
+
+        from decode_tonal_langauge_tpu.preprocess.io import tdt_blocks
+
+        monkeypatch.delitem(sys.modules, "tdt", raising=False)
+        real_import = builtins.__import__
+
+        def no_tdt(name, *args, **kwargs):
+            if name == "tdt":
+                raise ImportError("No module named 'tdt'")
+            return real_import(name, *args, **kwargs)
+
+        monkeypatch.setattr(builtins, "__import__", no_tdt)
+        with pytest.raises(ImportError, match="npz_blocks"):
+            tdt_blocks.load_block("/fake/tank")
