@@ -368,12 +368,14 @@ def bench_training_cnnrnn(batch: int = 32, channels: int = 32,
     }
 
 
-def bench_training_synthesis(batch: int = 32, channels: int = 40,
-                             n_timepoints: int = 200, n_dynamics: int = 100,
-                             n_mel: int = 128 * 20):
-    """SynthesisModelCNN (the paper synthesis model,
-    ``/root/reference/models/synthesis_models.py:49-198``) train-step
-    throughput + MFU at paper-scale shapes (BASELINE config 4b)."""
+def synthesis_step_time(batch: int = 32, dtype=None, moment_dtype=None,
+                        channels: int = 40, n_timepoints: int = 200,
+                        n_dynamics: int = 100, n_mel: int = 128 * 20,
+                        n_runs: int = 20):
+    """(seconds/step, flops/step) of the full SynthesisModelCNN train
+    step. Shared by :func:`bench_training_synthesis` (the published
+    BENCH rows) and ``scripts/roofline_synthesis.py`` (the batch sweep),
+    so the roofline datapoints measure EXACTLY the bench step."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -390,43 +392,58 @@ def bench_training_synthesis(batch: int = 32, channels: int = 40,
     )
     mel = jnp.asarray(rng.standard_normal((batch, n_mel)).astype(np.float32))
 
-    def measure(dtype, moment_dtype=None):
-        model = SynthesisModelCNN(output_dim=n_mel, n_channels=channels,
-                                  n_timepoints=n_timepoints, dtype=dtype)
-        params = model.init(
-            {"params": jax.random.key(0)}, ecog, labels, train=False
-        )["params"]
-        optimizer = nadam_with_decay_groups(5e-4, moment_dtype=moment_dtype)
-        opt_state = optimizer.init(params)
+    model = SynthesisModelCNN(
+        output_dim=n_mel, n_channels=channels, n_timepoints=n_timepoints,
+        dtype=dtype if dtype is not None else jnp.float32,
+    )
+    params = model.init(
+        {"params": jax.random.key(0)}, ecog, labels, train=False
+    )["params"]
+    optimizer = nadam_with_decay_groups(5e-4, moment_dtype=moment_dtype)
+    opt_state = optimizer.init(params)
 
-        def step(carry, _):
-            params, opt_state, key = carry
-            key, dk = jax.random.split(key)
+    def step(carry, _):
+        params, opt_state, key = carry
+        key, dk = jax.random.split(key)
 
-            def loss_fn(p):
-                out = model.apply(
-                    {"params": p}, ecog, labels, train=True,
-                    rngs={"dropout": dk},
-                )
-                return jnp.abs(out - mel).mean()  # L1, as the trainer
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            return (optax.apply_updates(params, updates), opt_state, key), loss
-
-        n_runs = 20
-
-        @jax.jit
-        def run_n(params, opt_state, key):
-            (_, _, _), losses = jax.lax.scan(
-                step, (params, opt_state, key), None, length=n_runs
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p}, ecog, labels, train=True,
+                rngs={"dropout": dk},
             )
-            return losses.sum()
+            return jnp.abs(out - mel).mean()  # L1, as the trainer
 
-        args = (params, opt_state, jax.random.key(1))
-        per_step = _time_scanned_steps(run_n, args, n_runs)
-        flops = _step_flops(lambda p, o, k: step((p, o, k), None)[0], args)
-        return per_step, flops
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state, key), loss
+
+    @jax.jit
+    def run_n(params, opt_state, key):
+        (_, _, _), losses = jax.lax.scan(
+            step, (params, opt_state, key), None, length=n_runs
+        )
+        return losses.sum()
+
+    args = (params, opt_state, jax.random.key(1))
+    per_step = _time_scanned_steps(run_n, args, n_runs)
+    flops = _step_flops(lambda p, o, k: step((p, o, k), None)[0], args)
+    return per_step, flops
+
+
+def bench_training_synthesis(batch: int = 32, channels: int = 40,
+                             n_timepoints: int = 200, n_dynamics: int = 100,
+                             n_mel: int = 128 * 20):
+    """SynthesisModelCNN (the paper synthesis model,
+    ``/root/reference/models/synthesis_models.py:49-198``) train-step
+    throughput + MFU at paper-scale shapes (BASELINE config 4b)."""
+    import jax.numpy as jnp
+
+    def measure(dtype, moment_dtype=None):
+        return synthesis_step_time(
+            batch=batch, dtype=dtype, moment_dtype=moment_dtype,
+            channels=channels, n_timepoints=n_timepoints,
+            n_dynamics=n_dynamics, n_mel=n_mel,
+        )
 
     per_step, flops = measure(jnp.float32)
     bf16_step, bf16_flops = measure(jnp.bfloat16)
@@ -673,7 +690,10 @@ def bench_griffinlim(batch: int = 32, sr: float = 24414.0, n_fft: int = 2048,
 
     # per-trial floor: the same chain dispatched one trial at a time
     # (the r3 serving path); readbacks fence each dispatch as the CLI's
-    # write_wav loop would.
+    # write_wav loop would. Each of the `batch` readbacks pays one
+    # tunnel round trip — subtracted so the speedup compares kernel
+    # seconds to kernel seconds (the r4 ratio mixed tunnel-laden wall
+    # with device time and drifted with host load).
     _invert_mels_batch(
         shaped[:1], basis, mel_in_db=True, power=2.0, n_fft=n_fft,
         hop_length=hop, n_iter=n_iter, length=None,
@@ -686,7 +706,9 @@ def bench_griffinlim(batch: int = 32, sr: float = 24414.0, n_fft: int = 2048,
                 n_fft=n_fft, hop_length=hop, n_iter=n_iter, length=None,
             )
         )
-    per_trial_s = time.perf_counter() - t0
+    per_trial_s = max(
+        time.perf_counter() - t0 - batch * overhead, 1e-9
+    )
 
     return {
         "griffinlim_wavs_per_s": batch / device_s,

@@ -43,6 +43,13 @@ class ClassificationSampleHandler:
             )
         features = self.dataset[feature_key]
 
+        # expected_n_classes ({target: count}) pins the label space to a
+        # TRAINING run's counts: evaluating/serving a data subset that
+        # happens to miss a class entirely must still encode the
+        # mixed-radix label with the radix the checkpoint was trained
+        # with (the evaluation stage reads the counts training recorded).
+        expected = getattr(self.params, "expected_n_classes", None) or {}
+
         target_labels = []
         n_classes_dict: Dict[str, int] = {}
         for target in self.targets:
@@ -51,16 +58,26 @@ class ClassificationSampleHandler:
                     f"Label array '{target}' missing from the sample file; "
                     f"Available keys: {', '.join(self.dataset.keys())}"
                 )
-            target_labels.append(self.dataset[target].flatten())
-            n_classes_dict[target] = len(np.unique(self.dataset[target]))
+            digit = self.dataset[target].flatten()
+            target_labels.append(digit)
+            count = int(
+                expected.get(target, len(np.unique(self.dataset[target])))
+            )
+            if digit.size and int(digit.max()) >= count:
+                raise ValueError(
+                    f"Label '{target}' holds value {int(digit.max())} but "
+                    f"the expected class count is {count} — the sample file "
+                    "does not match the training run's label space."
+                )
+            n_classes_dict[target] = count
 
         # mixed-radix combine: each target contributes one digit whose
         # radix is that target's class count
         labels = np.zeros_like(target_labels[0], dtype=int)
         radix = 1
-        for digit in target_labels:
+        for target, digit in zip(self.targets, target_labels):
             labels += digit * radix
-            radix *= len(np.unique(digit))
+            radix *= n_classes_dict[target]
 
         self.channels = self._filter_channels(features.shape[1])
         features = features[:, self.channels, :]

@@ -91,6 +91,7 @@ def _predict_target_seed(
     target_str: str,
     seed: int,
     predictor_cache: Dict[str, _FrozenPredictor],
+    restored_cache: Optional[Dict[str, dict]] = None,
 ):
     """Reproduce one (target, seed) test split and predict it frozen."""
     from ..runtime.checkpoint import load_params
@@ -109,7 +110,10 @@ def _predict_target_seed(
             f"Checkpoint {ckpt} not found — run the training stage with "
             "save_checkpoints: true before the evaluation stage."
         )
-    restored = dict(load_params(ckpt))
+    # the head-size probe may have restored this checkpoint already
+    restored = restored_cache.pop(ckpt, None) if restored_cache else None
+    if restored is None:
+        restored = dict(load_params(ckpt))
     scaler = restored.pop("scaler", None)
     n_params = sum(
         int(np.size(leaf))
@@ -150,7 +154,10 @@ def _tree_leaves(tree):
 
 
 def _n_classes_from_checkpoint(
-    params: Namespace, target_str: str, seed: int
+    params: Namespace,
+    target_str: str,
+    seed: int,
+    restored_cache: Optional[Dict[str, dict]] = None,
 ) -> Optional[int]:
     """Class-head size from the trained checkpoint's own bias shape.
 
@@ -158,7 +165,9 @@ def _n_classes_from_checkpoint(
     classifier ends in a Dense head (``linear`` / ``output`` / ``fc2`` /
     ``head``) whose bias length IS ``n_classes``. Returns None (caller
     falls back to the eval-data-derived count) for missing checkpoints
-    or custom architectures without a known head name."""
+    or custom architectures without a known head name. The restored tree
+    is parked in ``restored_cache`` so the seed loop's own restore of the
+    same checkpoint is free."""
     from ..runtime.checkpoint import load_params
     from ..training.classifier_pipeline import checkpoint_name
 
@@ -170,6 +179,8 @@ def _n_classes_from_checkpoint(
     if not os.path.exists(ckpt):
         return None
     restored = dict(load_params(ckpt))
+    if restored_cache is not None:
+        restored_cache[ckpt] = restored
     tree = restored.get("params", restored)
     for head in ("linear", "output", "fc2", "head"):
         if head in tree and "bias" in tree[head]:
@@ -187,6 +198,19 @@ def _evaluate_subject(params: Namespace, seeds: np.ndarray) -> None:
     metrics = getattr(params, "metrics", ["accuracy"])
     separate = bool(getattr(params, "separate_models", False))
     predictor_cache: Dict[str, _FrozenPredictor] = {}
+
+    # Pin the label space to the TRAINING run's recorded per-target
+    # counts (classifier_pipeline.record_label_space): deriving counts
+    # from the evaluated data re-encodes the mixed-radix labels and
+    # shrinks heads whenever a class is absent from the evaluated subset.
+    import json
+
+    label_space_path = os.path.join(
+        params.training_dir, f"n_classes_subject_{params.subject_id}.json"
+    )
+    if os.path.exists(label_space_path):
+        with open(label_space_path) as f:
+            params.expected_n_classes = json.load(f)
 
     if separate:
         per_target: Dict[str, dict] = {}
@@ -220,8 +244,9 @@ def _evaluate_subject(params: Namespace, seeds: np.ndarray) -> None:
             if len(params.targets) > 1
             else params.targets[0]
         )
+        restored_cache: Dict[str, dict] = {}
         n_classes = _n_classes_from_checkpoint(
-            params, joint_name, int(seeds[0])
+            params, joint_name, int(seeds[0]), restored_cache
         ) or len(np.unique(data["labels"]))
         class_labels = handler.prepare_class_labels(data["n_classes_dict"])
 
@@ -286,19 +311,15 @@ def _evaluate_subject(params: Namespace, seeds: np.ndarray) -> None:
                 all_true, all_preds, metrics=metrics
             )
         else:
-            target_name = (
-                "_".join(params.targets)
-                if len(params.targets) > 1
-                else params.targets[0]
-            )
             true, preds, n_params = _predict_target_seed(
                 params,
                 data["features"].astype(np.float32),
                 data["labels"].astype(np.int32),
                 n_classes,
-                target_name,
+                joint_name,
                 int(seed),
                 predictor_cache,
+                restored_cache,
             )
             model_size = n_params
             jm = compute_classification_metrics(true, preds, metrics=metrics)

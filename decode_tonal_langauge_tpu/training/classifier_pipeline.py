@@ -299,6 +299,22 @@ def _fit_eval_all_seeds(
     return results
 
 
+def record_label_space(params: Namespace, n_classes_dict: Dict[str, int]) -> None:
+    """Persist the per-target class counts this subject was TRAINED with.
+
+    The evaluation stage reads this to pin its mixed-radix encoding and
+    per-target head sizes to the training run's label space — deriving
+    them from the evaluated data silently re-encodes the labels whenever
+    a class is absent from the evaluated subset."""
+    import json
+
+    path = os.path.join(
+        params.log_dir, f"n_classes_subject_{params.subject_id}.json"
+    )
+    with open(path, "w") as f:
+        json.dump({k: int(v) for k, v in n_classes_dict.items()}, f)
+
+
 def train_separate_targets(
     params: Namespace, seeds: np.ndarray
 ) -> Tuple[Dict, np.ndarray, List[str]]:
@@ -330,6 +346,7 @@ def train_separate_targets(
     class_labels = ClassificationSampleHandler(params).prepare_class_labels(
         n_classes_dict
     )
+    record_label_space(params, n_classes_dict)
 
     n_classes = int(np.prod(list(n_classes_dict.values())))
     metrics = getattr(params, "metrics", ["accuracy"])
@@ -466,6 +483,7 @@ def train_joint_targets(
 
     n_classes = len(np.unique(labels))
     class_labels = handler.prepare_class_labels(data["n_classes_dict"])
+    record_label_space(params, data["n_classes_dict"])
 
     metrics = getattr(params, "metrics", ["accuracy"])
     metric_values: Dict[str, List[float]] = {

@@ -27,73 +27,27 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402  (repo-root import: honest timing helpers)
 
 
-def measure_step(batch, dtype_name, moment_dtype=None, channels=40,
-                 n_timepoints=200, n_dynamics=100, n_mel=128 * 20,
-                 n_runs=20):
+def measure_step(batch, dtype_name, moment_dtype=None, **shape_kwargs):
     """(seconds/step, flops/step) of the full SynthesisModelCNN train
-    step at the given batch/dtype — the bench_training_synthesis shapes."""
-    import jax
+    step at the given batch/dtype — delegates to
+    :func:`bench.synthesis_step_time` so the sweep measures EXACTLY the
+    published bench step."""
     import jax.numpy as jnp
-    import optax
 
-    from decode_tonal_langauge_tpu.models.synthesis import SynthesisModelCNN
-    from decode_tonal_langauge_tpu.training.optim import (
-        nadam_with_decay_groups,
+    return bench.synthesis_step_time(
+        batch=batch, dtype=jnp.dtype(dtype_name), moment_dtype=moment_dtype,
+        **shape_kwargs,
     )
-
-    rng = np.random.default_rng(0)
-    ecog = jnp.asarray(
-        rng.standard_normal((batch, channels, n_timepoints)).astype(np.float32)
-    )
-    labels = jnp.asarray(
-        rng.standard_normal((batch, 2, n_dynamics)).astype(np.float32)
-    )
-    mel = jnp.asarray(rng.standard_normal((batch, n_mel)).astype(np.float32))
-
-    model = SynthesisModelCNN(
-        output_dim=n_mel, n_channels=channels, n_timepoints=n_timepoints,
-        dtype=jnp.dtype(dtype_name),
-    )
-    params = model.init(
-        {"params": jax.random.key(0)}, ecog, labels, train=False
-    )["params"]
-    optimizer = nadam_with_decay_groups(5e-4, moment_dtype=moment_dtype)
-    opt_state = optimizer.init(params)
-
-    def step(carry, _):
-        params, opt_state, key = carry
-        key, dk = jax.random.split(key)
-
-        def loss_fn(p):
-            out = model.apply(
-                {"params": p}, ecog, labels, train=True, rngs={"dropout": dk}
-            )
-            return jnp.abs(out - mel).mean()
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return (optax.apply_updates(params, updates), opt_state, key), loss
-
-    @jax.jit
-    def run_n(params, opt_state, key):
-        (_, _, _), losses = jax.lax.scan(
-            step, (params, opt_state, key), None, length=n_runs
-        )
-        return losses.sum()
-
-    args = (params, opt_state, jax.random.key(1))
-    per_step = bench._time_scanned_steps(run_n, args, n_runs)
-    flops = bench._step_flops(lambda p, o, k: step((p, o, k), None)[0], args)
-    return per_step, flops
 
 
 def _synthesis_param_tree(channels=40, n_timepoints=200, n_dynamics=100,

@@ -6,7 +6,7 @@
 #
 # Run only when the TPU tunnel is up:
 #   timeout 90 python -c "import jax; print(jax.devices())"
-set -ex
+set -ex -o pipefail
 cd /root/repo
 
 # 1. the round's headline numbers (also exercises the new per-section

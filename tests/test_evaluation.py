@@ -250,3 +250,56 @@ def test_eval_joint_head_size_from_checkpoint_not_eval_data(tmp_path):
     eval_dir = _run_eval(training_dir, str(subset_dir))
     ev = pd.read_csv(os.path.join(eval_dir, "results.csv"))
     assert np.isfinite(ev["accuracy_mean"]).all()
+
+
+def test_eval_joint_radix_pinned_to_training_label_space(tmp_path):
+    """Eval subset missing an ENTIRE first-target class: the mixed-radix
+    combine multiplies later targets by the EARLIER targets' class
+    counts, so deriving counts from the evaluated data (tone 4 -> 3)
+    re-encodes every combined label and silently mismatches the
+    checkpoint's classes. Training records its label space
+    (n_classes_subject_<id>.json) and evaluation must pin to it."""
+    rng = np.random.default_rng(3)
+    n = 96
+    x = rng.standard_normal((n, 6, 10)).astype(np.float32) * 0.1
+    # independent targets (np.tile for BOTH would make syllable = tone % 2,
+    # collapsing the joint label space to 4 of 8 classes)
+    tone = np.repeat([0, 1, 2, 3], n // 4)
+    syll = np.tile([0, 1], n // 2)
+    for t in range(4):  # every class strongly decodable
+        x[tone == t, t] += 5.0
+    x[syll == 1, 4] += 5.0
+    sample_dir = tmp_path / "samples"
+    sample_dir.mkdir(parents=True)
+    np.savez(
+        sample_dir / "subject_1.npz",
+        ecog=x, ecog_sf=100.0, tone=tone, syllable=syll,
+    )
+
+    cfg = _train_config(
+        tmp_path, str(sample_dir), repeat=1, separate=False,
+        targets=("tone", "syllable"),
+    )
+    # the 8-class joint head needs more steps than the harness default
+    cfg["training"]["params"]["training"]["epochs"] = 100
+    cfg["training"]["params"]["training"]["patience"] = 100
+    training_dir = train_classifier.run(cfg)
+    assert os.path.exists(
+        os.path.join(training_dir, "n_classes_subject_1.json")
+    ), "training did not record its label space"
+    tr = pd.read_csv(os.path.join(training_dir, "results.csv"))
+    assert tr["accuracy_mean"].iloc[0] > 0.9  # the task is easy by design
+
+    keep = tone != 3  # a whole tone class vanishes from the eval subset
+    subset_dir = tmp_path / "samples_subset"
+    subset_dir.mkdir()
+    np.savez(
+        subset_dir / "subject_1.npz",
+        ecog=x[keep], ecog_sf=100.0, tone=tone[keep], syllable=syll[keep],
+    )
+
+    eval_dir = _run_eval(training_dir, str(subset_dir))
+    ev = pd.read_csv(os.path.join(eval_dir, "results.csv"))
+    # wrong radix scrambles labels vs predictions -> accuracy craters;
+    # pinned radix keeps the easy task near ceiling
+    assert ev["accuracy_mean"].iloc[0] > 0.9, ev["accuracy_mean"].iloc[0]

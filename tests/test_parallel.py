@@ -287,7 +287,10 @@ class TestGraftEntry:
             env=env,
             capture_output=True,
             text=True,
-            timeout=520,
+            # Must exceed the dryrun's own child budget (540 s) so a
+            # stalled section fails THERE with its attributable
+            # per-section message, not here as a bare TimeoutExpired.
+            timeout=600,
         )
         tail = result.stdout[-3000:] + result.stderr[-3000:]
         assert result.returncode == 0, tail
