@@ -287,6 +287,7 @@ def _fit_eval_all_seeds(
         verbose=getattr(params, "verbose", 1) > 1,
         scan_unroll=int(getattr(params, "scan_unroll", 1)),
         moment_dtype=getattr(params, "moment_dtype", None),
+        seed_chunk=getattr(params, "seed_chunk", None),
     )
     results = spt.fit_eval(
         np.stack(tr_x), np.stack(tr_y),

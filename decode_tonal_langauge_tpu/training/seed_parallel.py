@@ -113,10 +113,29 @@ class SeedParallelTrainer:
         verbose: bool = False,
         scan_unroll: int = 1,
         moment_dtype: Optional[str] = None,
+        seed_chunk: Optional[int] = None,
     ):
         self.seeds = [int(s) for s in seeds]
         self.mesh = mesh
         self.verbose = verbose
+        # seed_chunk bounds the vmapped width: a 48-seed CNN-RNN fit
+        # stacks ~48x (params + grads + 2 moments + conv activations)
+        # and can exceed one chip's HBM; chunks of `seed_chunk` seeds
+        # run sequentially, each still one vmapped jit (identical
+        # per-seed results — seeds are independent).
+        self.seed_chunk = int(seed_chunk) if seed_chunk else None
+        self._ctor_kwargs = dict(
+            n_classes=n_classes,
+            learning_rate=learning_rate,
+            weight_decay=weight_decay,
+            batch_size=batch_size,
+            max_epochs=max_epochs,
+            patience=patience,
+            mesh=mesh,
+            verbose=verbose,
+            scan_unroll=scan_unroll,
+            moment_dtype=moment_dtype,
+        )
         self._proto = ClassifierTrainer(
             model,
             n_classes=n_classes,
@@ -186,6 +205,22 @@ class SeedParallelTrainer:
         proto = self._proto
         S = len(self.seeds)
         assert train_x.shape[0] == S, (train_x.shape, S)
+
+        if self.seed_chunk and S > self.seed_chunk:
+            # Memory-bounded path: sequential chunks, each one vmapped
+            # jit. Per-seed results are bitwise those of the unchunked
+            # fit (tests/test_seed_parallel.py asserts equality).
+            out: List[SeedFitResult] = []
+            c = self.seed_chunk
+            arrays = (train_x, train_y, val_x, val_y, test_x, test_y)
+            for i in range(0, S, c):
+                sub = SeedParallelTrainer(
+                    proto.model, seeds=self.seeds[i : i + c],
+                    **self._ctor_kwargs,
+                )
+                out.extend(sub.fit_eval(*(a[i : i + c] for a in arrays)))
+            return out
+
         B = proto.batch_size
 
         # Pad the seed axis to a multiple of the mesh's data axis

@@ -830,6 +830,10 @@ def main():
                          "seed stream is a prefix-stable np.random.seed(42) "
                          "draw, so larger counts extend the same seeds; "
                          "torch cells always use the first 3.")
+    ap.add_argument("--seed-chunk", type=int, default=None,
+                    help="bound the CNN-RNN cell's vmapped seed width "
+                         "(training seed_chunk): wide seed counts of the "
+                         "14M-param model can exceed one chip's HBM")
     args = ap.parse_args()
     if args.epochs:
         global EPOCHS
@@ -904,6 +908,9 @@ def main():
         accs, wall = train_ours(
             args.workdir, outputs,
             "models.deep_classifiers.CNNRNNClassifier", "cnnrnn", "tone",
+            training_extra=(
+                {"seed_chunk": args.seed_chunk} if args.seed_chunk else None
+            ),
         )
         results["cnnrnn"] = {"accuracy_all": accs, "wall_s": wall}
         save()

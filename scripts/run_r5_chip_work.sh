@@ -21,8 +21,8 @@ timeout 3600 python scripts/roofline_synthesis.py | tee /tmp/r5_roofline.json
 #    fresh workdirs (the r4 ones are gone), pipeline re-runs once per
 #    workdir. Torch columns stay at the r4-recorded 3-seed values.
 timeout 3600 python scripts/measure_parity.py \
-  --only pipeline,cnnrnn --seeds 48 --skip-torch-cnn \
+  --only pipeline,cnnrnn --seeds 48 --seed-chunk 24 --skip-torch-cnn \
   --workdir /tmp/parity_r5_easy
 timeout 5400 python scripts/measure_parity.py \
-  --only pipeline,cnnrnn --seeds 48 --skip-torch-cnn --noise-scale 4.5 \
-  --workdir /tmp/parity_r5_hard
+  --only pipeline,cnnrnn --seeds 48 --seed-chunk 24 --skip-torch-cnn \
+  --noise-scale 4.5 --workdir /tmp/parity_r5_hard

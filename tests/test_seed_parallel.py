@@ -186,3 +186,32 @@ def test_pipeline_helper_parallel_vs_sequential(rng, tmp_path):
         assert os.path.exists(
             tmp_path / "par" / f"seed_{rp.seed}" / "confusion_matrix_test.csv"
         )
+
+
+def test_seed_chunk_matches_unchunked(rng):
+    """seed_chunk bounds the vmapped width (HBM guard for wide seed
+    counts on one chip); chunked per-seed results must equal the
+    unchunked fit exactly — seeds are independent."""
+    x, y = _make_data(rng)
+    stacks = _split_stacks(x, y, SEEDS)
+    model = LogisticRegressionClassifier(input_dim=x.shape[1], n_classes=3)
+
+    full = SeedParallelTrainer(
+        model, n_classes=3, seeds=SEEDS, **HP
+    ).fit_eval(*stacks)
+    chunked = SeedParallelTrainer(
+        model, n_classes=3, seeds=SEEDS, seed_chunk=3, **HP
+    ).fit_eval(*stacks)
+
+    assert [r.seed for r in chunked] == [r.seed for r in full] == SEEDS
+    for rf, rc in zip(full, chunked):
+        assert len(rf.history) == len(rc.history)
+        for hf, hc in zip(rf.history, rc.history):
+            for k in hf:
+                np.testing.assert_allclose(hf[k], hc[k], rtol=1e-6)
+        np.testing.assert_array_equal(rf.test_preds, rc.test_preds)
+        np.testing.assert_allclose(
+            np.concatenate([np.ravel(l) for l in jax.tree_util.tree_leaves(rf.params)]),
+            np.concatenate([np.ravel(l) for l in jax.tree_util.tree_leaves(rc.params)]),
+            rtol=1e-6,
+        )
