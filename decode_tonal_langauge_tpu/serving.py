@@ -206,6 +206,48 @@ class TonalDecoder:
             out["mel"] = fetch_global(mel)[:n]
         return out
 
+    def decode_stream(
+        self,
+        recording: np.ndarray,
+        channel_selections: Dict[str, Any],
+        window: int,
+        hop: int,
+    ) -> Dict[str, np.ndarray]:
+        """Sliding-window decode of a CONTINUOUS recording (C, T).
+
+        Every ``hop``-spaced window of ``window`` samples is decoded in
+        ONE batched dispatch — the streaming/real-time path. The
+        reference has no consumer for continuous recordings (its
+        unlabelled sliding-window collector,
+        ``/root/reference/data_loading/dataloaders.py:77-170``, produces
+        patches nothing reads); here the windows are gathered on device
+        (``ops/framing.extract_epochs``) and fed to the same frozen
+        decode as epoch serving. Returns the epoch-decode outputs plus
+        ``window_start`` (sample index of each window).
+        """
+        from .ops.framing import extract_epochs
+
+        recording = np.asarray(recording, dtype=np.float32)
+        if recording.ndim != 2:
+            raise ValueError(
+                f"decode_stream expects a (channels, samples) recording; "
+                f"got shape {recording.shape}"
+            )
+        window, hop = int(window), max(int(hop), 1)
+        n_samples = recording.shape[1]
+        if window > n_samples:
+            raise ValueError(
+                f"window ({window} samples) exceeds the recording "
+                f"({n_samples} samples)"
+            )
+        starts = np.arange(0, n_samples - window + 1, hop, dtype=np.int32)
+        epochs = np.asarray(
+            extract_epochs(jnp.asarray(recording), jnp.asarray(starts), window)
+        )
+        out = self.decode(epochs, channel_selections)
+        out["window_start"] = starts
+        return out
+
     def synthesize_wavs(
         self,
         mels_flat: np.ndarray,
@@ -365,7 +407,28 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="Decode ECoG epochs with trained models (serving path)."
     )
-    p.add_argument("--sample_path", type=str, required=True)
+    p.add_argument(
+        "--sample_path", type=str, default=None,
+        help="Epoch npz (ecog (N,C,T) [+ tone/syllable/audio]) to "
+             "decode. Required unless --stream_recording is given.",
+    )
+    p.add_argument(
+        "--stream_recording", type=str, default=None,
+        help="STREAMING mode: a continuous-recording npz — either a "
+             "preprocess-stage block file ({data: (C,T), sf}) or "
+             "{ecog, ecog_sf} — decoded as hop-spaced sliding windows "
+             "in one batched dispatch (replaces --sample_path).",
+    )
+    p.add_argument(
+        "--stream_window_s", type=float, default=None,
+        help="Streaming window length in seconds; MUST equal the "
+             "training epochs' sample_length (the models have a fixed "
+             "input length). Required with --stream_recording.",
+    )
+    p.add_argument(
+        "--stream_hop_s", type=float, default=0.1,
+        help="Streaming hop between windows in seconds (default 0.1).",
+    )
     p.add_argument("--channel_file", type=str, default=None)
     p.add_argument("--config_file", type=str, default=None)
     p.add_argument(
@@ -490,13 +553,14 @@ def _configure_from_training_dir(params: argparse.Namespace) -> Dict[str, Any]:
 
     subject = params.subject_id
     if subject is None:
-        stem = os.path.basename(params.sample_path)
+        stem = os.path.basename(params.sample_path or "")
         if stem.startswith("subject_") and stem.endswith(".npz"):
             subject = stem[len("subject_"):-len(".npz")]
         else:
             raise ValueError(
                 "--subject_id is required with --training_dir when the "
-                "sample filename is not 'subject_<id>.npz'."
+                "sample filename is not 'subject_<id>.npz' (streaming "
+                "mode has no sample filename to parse)."
             )
 
     # The run's seed stream (reference scheme, same as train_classifier).
@@ -610,9 +674,33 @@ def run(params: argparse.Namespace) -> Dict[str, Any]:
             "label counts from the run's provenance)."
         )
 
-    dataset = np.load(params.sample_path)
-    ecog = dataset["ecog"]
-    n_timepoints = ecog.shape[2]
+    streaming = bool(getattr(params, "stream_recording", None))
+    if streaming:
+        if params.sample_path:
+            raise ValueError(
+                "pass either --sample_path (epoch decode) or "
+                "--stream_recording (sliding-window decode), not both."
+            )
+        if not getattr(params, "stream_window_s", None):
+            raise ValueError(
+                "--stream_window_s is required with --stream_recording "
+                "(it must equal the training epochs' sample_length)."
+            )
+        recording, stream_sf = _load_recording(params.stream_recording)
+        window = int(round(params.stream_window_s * stream_sf))
+        hop = int(round(params.stream_hop_s * stream_sf))
+        dataset = {}
+        ecog = None
+        n_timepoints = window
+    elif params.sample_path:
+        dataset = np.load(params.sample_path)
+        ecog = dataset["ecog"]
+        n_timepoints = ecog.shape[2]
+    else:
+        raise ValueError(
+            "--sample_path (epoch decode) or --stream_recording "
+            "(sliding-window decode) is required."
+        )
 
     mel_kwargs = dict(dataset_config.get("mel_kwargs", {}))
     mel_dim = None
@@ -623,7 +711,7 @@ def run(params: argparse.Namespace) -> Dict[str, Any]:
         # config field / training-audio probe below are fallbacks for
         # custom models without a known output head.
         mel_dim = dataset_config.get("mel_dim")
-        if mel_dim is None and "audio" in dataset:
+        if mel_dim is None and "audio" in dataset:  # empty in streaming
             probe = audio_to_mel(
                 dataset["audio"][0], params.audio_sampling_rate,
                 mel_kwargs=mel_kwargs,
@@ -655,6 +743,12 @@ def run(params: argparse.Namespace) -> Dict[str, Any]:
         synthesis_dtype=params.synthesis_dtype,
         mesh=mesh,
     )
+
+    if streaming:
+        return _run_stream(
+            params, decoder, recording, stream_sf, window, hop,
+            channel_selections, mel_kwargs,
+        )
 
     out = decoder.decode(ecog, channel_selections)
 
@@ -741,6 +835,93 @@ def run(params: argparse.Namespace) -> Dict[str, Any]:
         summary["trial_latency_s"] = _measure_latency(
             decoder, ecog, channel_selections
         )
+
+    with open(os.path.join(params.output_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return summary
+
+
+def _load_recording(path: str):
+    """Continuous recording npz -> ((C, T) float32, sampling rate).
+
+    Accepts the preprocess stage's block schema ({data, sf} —
+    ``preprocess/io/npz_blocks.save_block``) or a plain {ecog, ecog_sf}.
+    """
+    archive = np.load(path)
+    if "data" in archive:
+        rec, sf = archive["data"], archive.get("sf")
+    elif "ecog" in archive:
+        rec, sf = archive["ecog"], archive.get("ecog_sf")
+    else:
+        raise KeyError(
+            f"{path} has keys {sorted(archive.files)}; a streaming "
+            "recording needs 'data'+'sf' (preprocess block npz) or "
+            "'ecog'+'ecog_sf'."
+        )
+    if sf is None:
+        raise KeyError(f"{path} carries no sampling rate (sf/ecog_sf).")
+    rec = np.asarray(rec, dtype=np.float32)
+    if rec.ndim != 2:
+        raise ValueError(
+            f"streaming recording must be (channels, samples); got "
+            f"shape {rec.shape}"
+        )
+    return rec, float(sf)
+
+
+def _run_stream(
+    params, decoder, recording, sf, window, hop, channel_selections,
+    mel_kwargs,
+) -> Dict[str, Any]:
+    """Streaming decode: windows.csv + mels/wavs + summary.json."""
+    from .utils.audio import write_wav
+
+    out = decoder.decode_stream(recording, channel_selections, window, hop)
+    starts = out["window_start"]
+
+    os.makedirs(params.output_dir, exist_ok=True)
+    rows = [
+        {
+            "window": i,
+            "start_s": round(float(s) / sf, 6),
+            "tone_pred": int(out["tone"][i]),
+            "syllable_pred": int(out["syllable"][i]),
+            "tone_prob": float(np.max(out["tone_probs"][i])),
+            "syllable_prob": float(np.max(out["syllable_probs"][i])),
+        }
+        for i, s in enumerate(starts)
+    ]
+    csv_path = os.path.join(params.output_dir, "windows.csv")
+    with open(csv_path, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        writer.writeheader()
+        writer.writerows(rows)
+
+    summary: Dict[str, Any] = {
+        "n_windows": len(starts),
+        "window_s": window / sf,
+        "hop_s": hop / sf,
+        "recording_s": recording.shape[1] / sf,
+    }
+    if "mel" in out:
+        np.savez(
+            os.path.join(params.output_dir, "mels.npz"),
+            mel=out["mel"],
+            window_start=starts,
+            n_mels=np.asarray(mel_kwargs.get("n_mels", 128)),
+        )
+        waves = decoder.synthesize_wavs(
+            out["mel"], params.audio_sampling_rate, mel_kwargs,
+            n=params.n_wavs,
+        )
+        for i, wave in enumerate(waves):
+            write_wav(
+                os.path.join(params.output_dir, f"decoded_w{i}.wav"),
+                np.asarray(wave),
+                params.audio_sampling_rate,
+            )
+        summary["n_wavs"] = len(waves)
 
     with open(os.path.join(params.output_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

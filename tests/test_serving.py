@@ -541,3 +541,113 @@ def test_training_dir_conflicts_with_explicit_flags(artifacts, tmp_path):
     )
     with pytest.raises(ValueError, match="silently override"):
         run(args)
+
+
+def test_decode_stream_matches_epoch_decode(artifacts):
+    """Sliding-window streaming decode: each window's outputs must equal
+    decoding the same slice as an epoch (one batched dispatch, windows
+    gathered on device)."""
+    tone_model, tone_vars, syll_model, syll_vars, synth_model, synth_vars = (
+        artifacts["models"]
+    )
+    dec = TonalDecoder(
+        tone_model, tone_vars, syll_model, syll_vars, MAPPING,
+        synthesis_model=synth_model, synthesis_variables=synth_vars,
+    )
+    rng = np.random.default_rng(5)
+    recording = rng.standard_normal((N_CH, 200)).astype(np.float32)
+    hop = 16
+    out = dec.decode_stream(recording, CHANNELS, window=T, hop=hop)
+
+    n_expected = (200 - T) // hop + 1
+    assert len(out["window_start"]) == n_expected
+    np.testing.assert_array_equal(
+        out["window_start"], np.arange(0, 200 - T + 1, hop)
+    )
+    epochs = np.stack(
+        [recording[:, s : s + T] for s in out["window_start"]]
+    )
+    ref = dec.decode(epochs, CHANNELS)
+    np.testing.assert_array_equal(out["tone"], ref["tone"])
+    np.testing.assert_array_equal(out["syllable"], ref["syllable"])
+    np.testing.assert_allclose(out["mel"], ref["mel"], rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="exceeds the recording"):
+        dec.decode_stream(recording[:, :10], CHANNELS, window=T, hop=hop)
+    with pytest.raises(ValueError, match="channels, samples"):
+        dec.decode_stream(epochs, CHANNELS, window=T, hop=hop)
+
+
+def test_cli_streaming_mode(artifacts, tmp_path):
+    """--stream_recording end to end: block-npz recording in, windows.csv
+    + mels + wavs + summary out."""
+    sf = 100.0
+    rng = np.random.default_rng(6)
+    rec_path = str(tmp_path / "B1_ecog.npz")
+    np.savez(
+        rec_path,
+        data=rng.standard_normal((N_CH, 300)).astype(np.float32),
+        sf=sf,
+    )
+    out_dir = str(tmp_path / "streamed")
+    args = build_parser().parse_args([
+        "--stream_recording", rec_path,
+        "--stream_window_s", str(T / sf),
+        "--stream_hop_s", str(32 / sf),
+        "--channel_file", artifacts["channel_file"],
+        "--config_file", artifacts["config_file"],
+        "--tone_model_name", "logistic",
+        "--tone_model_path", os.path.join(artifacts["root"], "tone_ckpt"),
+        "--syllable_model_name", "ShallowNN",
+        "--syllable_model_path", os.path.join(artifacts["root"], "syll_ckpt"),
+        "--synthesis_model_name", "SynthesisLite",
+        "--synthesis_model_path", os.path.join(artifacts["root"], "synth_ckpt"),
+        "--audio_sampling_rate", str(SR),
+        "--output_dir", out_dir,
+        "--n_wavs", "1",
+    ])
+    summary = run(args)
+
+    n_expected = (300 - T) // 32 + 1
+    assert summary["n_windows"] == n_expected
+    assert summary["window_s"] == pytest.approx(T / sf)
+    assert summary["recording_s"] == pytest.approx(3.0)
+    assert os.path.exists(os.path.join(out_dir, "windows.csv"))
+    assert os.path.exists(os.path.join(out_dir, "mels.npz"))
+    assert os.path.exists(os.path.join(out_dir, "decoded_w0.wav"))
+
+    import csv as _csv
+
+    with open(os.path.join(out_dir, "windows.csv")) as f:
+        rows = list(_csv.DictReader(f))
+    assert len(rows) == n_expected
+    assert float(rows[1]["start_s"]) == pytest.approx(32 / sf)
+    mels = np.load(os.path.join(out_dir, "mels.npz"))
+    assert mels["mel"].shape[0] == n_expected
+
+
+def test_cli_stream_requires_window_and_excludes_sample_path(
+    artifacts, tmp_path
+):
+    rec_path = str(tmp_path / "rec.npz")
+    np.savez(rec_path, data=np.zeros((N_CH, 100), np.float32), sf=100.0)
+    base = [
+        "--channel_file", artifacts["channel_file"],
+        "--config_file", artifacts["config_file"],
+        "--tone_model_name", "logistic",
+        "--tone_model_path", os.path.join(artifacts["root"], "tone_ckpt"),
+        "--syllable_model_name", "ShallowNN",
+        "--syllable_model_path", os.path.join(artifacts["root"], "syll_ckpt"),
+        "--output_dir", str(tmp_path / "o"),
+    ]
+    with pytest.raises(ValueError, match="stream_window_s"):
+        run(build_parser().parse_args(
+            ["--stream_recording", rec_path] + base
+        ))
+    with pytest.raises(ValueError, match="not both"):
+        run(build_parser().parse_args(
+            ["--stream_recording", rec_path, "--stream_window_s", "0.24",
+             "--sample_path", artifacts["sample_path"]] + base
+        ))
+    with pytest.raises(ValueError, match="required"):
+        run(build_parser().parse_args(base))
