@@ -429,6 +429,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--stream_hop_s", type=float, default=0.1,
         help="Streaming hop between windows in seconds (default 0.1).",
     )
+    p.add_argument(
+        "--stream_min_windows", type=int, default=3,
+        help="Streaming event rule: a decoded event is a run of at "
+             "least this many consecutive windows predicting the same "
+             "(tone, syllable) — written to events.csv.",
+    )
     p.add_argument("--channel_file", type=str, default=None)
     p.add_argument("--config_file", type=str, default=None)
     p.add_argument(
@@ -842,6 +848,51 @@ def run(params: argparse.Namespace) -> Dict[str, Any]:
     return summary
 
 
+def segment_windows(
+    tones,
+    syllables,
+    starts,
+    window: int,
+    sf: float,
+    min_windows: int = 3,
+) -> list:
+    """Group consecutive same-label windows into decoded EVENTS.
+
+    The calibration-free segmentation rule (the classifiers' heads are
+    sigmoid/logit outputs, so probability thresholds would be
+    uncalibrated): an event is a run of >= ``min_windows`` consecutive
+    windows predicting the SAME (tone, syllable) — the same
+    consecutive-run idea as the channel-selection significance rule.
+    Returns dicts with onset/offset seconds, labels, and run length.
+    """
+    tones = np.asarray(tones)
+    syllables = np.asarray(syllables)
+    starts = np.asarray(starts)
+    events = []
+    i, n = 0, len(starts)
+    while i < n:
+        j = i
+        while (
+            j + 1 < n
+            and tones[j + 1] == tones[i]
+            and syllables[j + 1] == syllables[i]
+        ):
+            j += 1
+        run = j - i + 1
+        if run >= max(int(min_windows), 1):
+            events.append(
+                {
+                    "onset_s": round(float(starts[i]) / sf, 6),
+                    "offset_s": round((float(starts[j]) + window) / sf, 6),
+                    "tone": int(tones[i]),
+                    "syllable": int(syllables[i]),
+                    "n_windows": int(run),
+                }
+            )
+        i = j + 1
+    return events
+
+
 def _load_recording(path: str):
     """Continuous recording npz -> ((C, T) float32, sampling rate).
 
@@ -898,8 +949,22 @@ def _run_stream(
         writer.writeheader()
         writer.writerows(rows)
 
+    # Decoded events: runs of label-stable windows (run-length rule).
+    events = segment_windows(
+        out["tone"], out["syllable"], starts, window, sf,
+        min_windows=getattr(params, "stream_min_windows", 3),
+    )
+    if events:
+        with open(
+            os.path.join(params.output_dir, "events.csv"), "w", newline=""
+        ) as f:
+            writer = csv.DictWriter(f, fieldnames=list(events[0].keys()))
+            writer.writeheader()
+            writer.writerows(events)
+
     summary: Dict[str, Any] = {
         "n_windows": len(starts),
+        "n_events": len(events),
         "window_s": window / sf,
         "hop_s": hop / sf,
         "recording_s": recording.shape[1] / sf,

@@ -610,6 +610,7 @@ def test_cli_streaming_mode(artifacts, tmp_path):
 
     n_expected = (300 - T) // 32 + 1
     assert summary["n_windows"] == n_expected
+    assert summary["n_events"] >= 0  # events.csv schema is exercised
     assert summary["window_s"] == pytest.approx(T / sf)
     assert summary["recording_s"] == pytest.approx(3.0)
     assert os.path.exists(os.path.join(out_dir, "windows.csv"))
@@ -651,3 +652,30 @@ def test_cli_stream_requires_window_and_excludes_sample_path(
         ))
     with pytest.raises(ValueError, match="required"):
         run(build_parser().parse_args(base))
+
+
+def test_segment_windows_run_length_rule():
+    """Events = runs of >= min_windows label-stable windows; shorter
+    runs (spurious flips) are dropped; boundaries in seconds."""
+    from decode_tonal_langauge_tpu.serving import segment_windows
+
+    sf, window, hop = 100.0, 40, 10
+    tones = np.array([1, 1, 1, 2, 1, 3, 3, 3, 3, 0])
+    sylls = np.array([0, 0, 0, 0, 0, 1, 1, 1, 1, 1])
+    starts = np.arange(10) * hop
+    events = segment_windows(tones, sylls, starts, window, sf, min_windows=3)
+
+    assert len(events) == 2
+    first, second = events
+    assert (first["tone"], first["syllable"], first["n_windows"]) == (1, 0, 3)
+    assert first["onset_s"] == pytest.approx(0.0)
+    assert first["offset_s"] == pytest.approx((20 + window) / sf)
+    assert (second["tone"], second["syllable"], second["n_windows"]) == (3, 1, 4)
+    assert second["onset_s"] == pytest.approx(50 / sf)
+    assert second["offset_s"] == pytest.approx((80 + window) / sf)
+
+    # min_windows=1 keeps every run, including the single-window flips
+    assert len(
+        segment_windows(tones, sylls, starts, window, sf, min_windows=1)
+    ) == 5
+    assert segment_windows([], [], [], window, sf) == []
