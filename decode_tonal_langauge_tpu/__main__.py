@@ -6,6 +6,10 @@ The direct analogue of the reference's ``python main.py config.yaml``
 
 import sys
 
+from .runtime.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()
+
 from .pipeline import run_pipeline
 
 if len(sys.argv) != 2:

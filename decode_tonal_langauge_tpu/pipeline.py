@@ -153,4 +153,7 @@ def update_stage_cfg_io(stage_outputs: dict, stage: str, stage_cfg: dict) -> Non
 if __name__ == "__main__":
     if len(sys.argv) != 2:
         raise SystemExit("Usage: python -m decode_tonal_langauge_tpu.pipeline <config.yaml>")
+    from .runtime.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     run_pipeline(sys.argv[1])

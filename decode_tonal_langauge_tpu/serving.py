@@ -1017,6 +1017,9 @@ def _measure_latency(decoder, ecog, channel_selections, n_runs: int = 20):
 
 
 def main(argv=None) -> None:
+    from .runtime.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     run(build_parser().parse_args(argv))
 
 

@@ -588,4 +588,7 @@ def run(params: argparse.Namespace) -> dict:
 
 
 if __name__ == "__main__":
+    from ..runtime.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     run(build_parser().parse_args())

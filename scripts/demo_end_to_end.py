@@ -15,6 +15,9 @@ whatever backend JAX finds (a laptop CPU works):
        checkpoint decode the epochs to labels, mels, and Griffin-Lim
        waveforms in one jitted dispatch (classifier flags recovered
        from the training run via --training_dir)
+    5. streaming serving: a continuous preprocessed block decoded as
+       sliding windows (one batched dispatch) into per-window
+       predictions + run-length events + mels + a WAV
 
 Usage:
     python scripts/demo_end_to_end.py [workdir=demo_run]
@@ -30,6 +33,15 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# Honor JAX_PLATFORMS through jax.config too: an injected platform
+# plugin (sitecustomize) can register a backend that ignores the env
+# var, and a dead tunneled backend then HANGS init — the config knob is
+# authoritative either way (same pattern as tests/conftest.py).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def main() -> None:
@@ -300,8 +312,35 @@ def main() -> None:
         ]
     )
     summary = serving.run(serve_args)
-    print("== done — decoded/ holds predictions.csv, mels.npz, WAVs")
-    print(json.dumps(summary, indent=2))
+    print("   decoded/ holds predictions.csv, mels.npz, WAVs")
+
+    print("== 5/5 streaming: sliding-window decode of a continuous block")
+    block_npz = os.path.join(
+        outputs["preprocess"], "subject_1", "B1_ecog.npz"
+    )
+    stream_args = serving.build_parser().parse_args(
+        [
+            "--stream_recording", block_npz,
+            "--stream_window_s", "0.4",  # = the training sample_length
+            "--stream_hop_s", "0.1",
+            "--training_dir", outputs["training"],
+            "--subject_id", "1",
+            "--config_file", "synth_config.json",
+            "--synthesis_model_name", "SynthesisLite",
+            "--synthesis_model_path", os.path.join("synth/ckpt", synth_ckpts[0]),
+            "--audio_sampling_rate", "800",
+            "--output_dir", "streamed",
+            "--n_wavs", "1",
+        ]
+    )
+    stream_summary = serving.run(stream_args)
+    print(
+        f"   streamed/ holds windows.csv ({stream_summary['n_windows']} "
+        f"windows), events.csv ({stream_summary['n_events']} events), "
+        "mels, WAV"
+    )
+    print("== done")
+    print(json.dumps({"epochs": summary, "stream": stream_summary}, indent=2))
 
 
 if __name__ == "__main__":
