@@ -212,6 +212,7 @@ class TonalDecoder:
         channel_selections: Dict[str, Any],
         window: int,
         hop: int,
+        max_batch: int = 1024,
     ) -> Dict[str, np.ndarray]:
         """Sliding-window decode of a CONTINUOUS recording (C, T).
 
@@ -241,10 +242,22 @@ class TonalDecoder:
                 f"({n_samples} samples)"
             )
         starts = np.arange(0, n_samples - window + 1, hop, dtype=np.int32)
-        epochs = np.asarray(
-            extract_epochs(jnp.asarray(recording), jnp.asarray(starts), window)
-        )
-        out = self.decode(epochs, channel_selections)
+        # max_batch bounds device memory on long recordings (an hour at
+        # 400 Hz / 0.1 s hop is ~36k windows): decode in fixed-size
+        # chunks — each still one batched dispatch, and every chunk but
+        # the last reuses one compiled program.
+        rec_dev = jnp.asarray(recording)
+        chunks = []
+        for lo in range(0, len(starts), max(int(max_batch), 1)):
+            chunk_starts = starts[lo : lo + max_batch]
+            epochs = np.asarray(
+                extract_epochs(rec_dev, jnp.asarray(chunk_starts), window)
+            )
+            chunks.append(self.decode(epochs, channel_selections))
+        out = {
+            k: np.concatenate([c[k] for c in chunks], axis=0)
+            for k in chunks[0]
+        }
         out["window_start"] = starts
         return out
 

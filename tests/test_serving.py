@@ -679,3 +679,39 @@ def test_segment_windows_run_length_rule():
         segment_windows(tones, sylls, starts, window, sf, min_windows=1)
     ) == 5
     assert segment_windows([], [], [], window, sf) == []
+
+
+def test_decode_stream_chunked_matches_single_batch(artifacts):
+    """max_batch chunking (device-memory guard for long recordings) must
+    not change any output."""
+    tone_model, tone_vars, syll_model, syll_vars, _, _ = artifacts["models"]
+    dec = TonalDecoder(tone_model, tone_vars, syll_model, syll_vars, MAPPING)
+    rng = np.random.default_rng(7)
+    recording = rng.standard_normal((N_CH, 400)).astype(np.float32)
+
+    full = dec.decode_stream(recording, CHANNELS, window=T, hop=8)
+    chunked = dec.decode_stream(
+        recording, CHANNELS, window=T, hop=8, max_batch=7
+    )
+    assert len(full["window_start"]) > 14  # several chunks exercised
+    for k in full:
+        np.testing.assert_array_equal(full[k], chunked[k])
+
+
+def test_honor_jax_platforms_env(monkeypatch):
+    """CLI platform pin: mirrors JAX_PLATFORMS into jax.config (a
+    sitecustomize-registered backend can ignore the env var and hang a
+    dead tunnel); no env var -> config untouched; idempotent."""
+    from decode_tonal_langauge_tpu.runtime.platform import (
+        honor_jax_platforms_env,
+    )
+
+    before = jax.config.jax_platforms
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    honor_jax_platforms_env()
+    assert jax.config.jax_platforms == before
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    honor_jax_platforms_env()
+    honor_jax_platforms_env()  # idempotent
+    assert jax.config.jax_platforms == "cpu"
