@@ -994,6 +994,8 @@ def main():
         ("fit", bench_synth_fit),
         ("serve", bench_serving),
     ):
+        t0 = time.perf_counter()
+        print(f"[bench] section {name}: start", file=sys.stderr, flush=True)
         try:
             sections[name] = fn()
         except SystemExit:
@@ -1002,6 +1004,13 @@ def main():
             errors[name] = f"{type(exc).__name__}: {exc}"
             print(f"[bench] section {name} failed: {errors[name]}",
                   file=sys.stderr, flush=True)
+        else:
+            print(
+                f"[bench] section {name}: ok in "
+                f"{time.perf_counter() - t0:.1f}s",
+                file=sys.stderr,
+                flush=True,
+            )
 
     def val(section, key, digits=None):
         row = sections.get(section)
