@@ -694,10 +694,13 @@ def bench_griffinlim(batch: int = 32, sr: float = 24414.0, n_fft: int = 2048,
     # tunnel round trip — subtracted so the speedup compares kernel
     # seconds to kernel seconds (the r4 ratio mixed tunnel-laden wall
     # with device time and drifted with host load).
-    _invert_mels_batch(
-        shaped[:1], basis, mel_in_db=True, power=2.0, n_fft=n_fft,
-        hop_length=hop, n_iter=n_iter, length=None,
-    )  # warm the B=1 shape
+    np.asarray(
+        _invert_mels_batch(
+            shaped[:1], basis, mel_in_db=True, power=2.0, n_fft=n_fft,
+            hop_length=hop, n_iter=n_iter, length=None,
+        )
+    )  # warm the B=1 shape AND fence it (an async warmup would bill
+    #    its execution to the first timed iteration)
     t0 = time.perf_counter()
     for i in range(batch):
         np.asarray(

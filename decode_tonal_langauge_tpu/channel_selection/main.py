@@ -106,4 +106,7 @@ if __name__ == "__main__":
         raise SystemExit(
             "Usage: python -m decode_tonal_langauge_tpu.channel_selection.main <config.yaml>"
         )
+    from ..runtime.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     run(load_config(sys.argv[1]))

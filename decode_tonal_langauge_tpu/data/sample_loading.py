@@ -60,15 +60,20 @@ class ClassificationSampleHandler:
                 )
             digit = self.dataset[target].flatten()
             target_labels.append(digit)
-            count = int(
-                expected.get(target, len(np.unique(self.dataset[target])))
-            )
-            if digit.size and int(digit.max()) >= count:
-                raise ValueError(
-                    f"Label '{target}' holds value {int(digit.max())} but "
-                    f"the expected class count is {count} — the sample file "
-                    "does not match the training run's label space."
-                )
+            if target in expected:
+                count = int(expected[target])
+                # Only the pinned (evaluation/serving) path validates:
+                # the training path derives its counts from this very
+                # data, so there is no run to mismatch.
+                if digit.size and int(digit.max()) >= count:
+                    raise ValueError(
+                        f"Label '{target}' holds value {int(digit.max())} "
+                        f"but the training run's class count is {count} — "
+                        "the sample file does not match the training "
+                        "run's label space."
+                    )
+            else:
+                count = len(np.unique(self.dataset[target]))
             n_classes_dict[target] = count
 
         # mixed-radix combine: each target contributes one digit whose

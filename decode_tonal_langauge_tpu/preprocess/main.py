@@ -81,4 +81,7 @@ def main(config_path: str) -> str:
 if __name__ == "__main__":
     if len(sys.argv) != 2:
         raise SystemExit("Usage: python -m decode_tonal_langauge_tpu.preprocess.main <config.yaml>")
+    from ..runtime.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     main(sys.argv[1])

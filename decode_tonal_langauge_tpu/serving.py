@@ -153,28 +153,33 @@ class TonalDecoder:
         predicted flattened mel spectrograms."""
         # Sorted: the training stage's sample handler sorts channel
         # subsets, so checkpointed weights and scaler rows are laid out
-        # in ascending channel order.
+        # in ascending channel order. The channel gathers run wherever
+        # the input lives — a device-resident batch (decode_stream's
+        # on-device window gather) never round-trips through the host.
         n = ecog_samples.shape[0]
         if n == 0:
             raise ValueError(
                 "decode() received zero trials — the ecog array in the "
                 "sample npz is empty."
             )
-        x_tone = np.asarray(
-            ecog_samples[:, sorted(channel_selections["tone_discriminative"]), :],
-            dtype=np.float32,
+        x = jnp.asarray(ecog_samples, dtype=jnp.float32)
+        tone_idx = np.asarray(
+            sorted(channel_selections["tone_discriminative"]), dtype=np.int32
         )
-        x_syll = np.asarray(
-            ecog_samples[
-                :, sorted(channel_selections["syllable_discriminative"]), :
-            ],
-            dtype=np.float32,
+        syll_idx = np.asarray(
+            sorted(channel_selections["syllable_discriminative"]),
+            dtype=np.int32,
         )
-        non = select_non_discriminative_channels(
-            channel_selections,
-            ["tone_discriminative", "syllable_discriminative"],
+        non = np.asarray(
+            select_non_discriminative_channels(
+                channel_selections,
+                ["tone_discriminative", "syllable_discriminative"],
+            ),
+            dtype=np.int32,
         )
-        ecog_non = np.asarray(ecog_samples[:, non, :], dtype=np.float32)
+        x_tone = x[:, tone_idx, :]
+        x_syll = x[:, syll_idx, :]
+        ecog_non = x[:, non, :]
 
         # With a mesh, pad the batch to a multiple of `data` and shard
         # the sample axis; padding rows are dropped from the outputs.
@@ -184,13 +189,13 @@ class TonalDecoder:
         inputs = []
         for arr in (x_tone, x_syll, ecog_non):
             if pad:
-                arr = np.concatenate(
-                    [arr, np.repeat(arr[-1:], pad, axis=0)], axis=0
+                arr = jnp.concatenate(
+                    [arr, jnp.repeat(arr[-1:], pad, axis=0)], axis=0
                 )
             inputs.append(
                 shard_batch(self.mesh, arr)
                 if self.mesh is not None
-                else jnp.asarray(arr)
+                else arr
             )
 
         tones, sylls, tone_probs, syll_probs, mel = self._decode_jit(*inputs)
@@ -245,13 +250,15 @@ class TonalDecoder:
         # max_batch bounds device memory on long recordings (an hour at
         # 400 Hz / 0.1 s hop is ~36k windows): decode in fixed-size
         # chunks — each still one batched dispatch, and every chunk but
-        # the last reuses one compiled program.
+        # the last reuses one compiled program. The gathered windows
+        # stay ON DEVICE into decode (no host round trip per chunk).
+        max_batch = max(int(max_batch), 1)
         rec_dev = jnp.asarray(recording)
         chunks = []
-        for lo in range(0, len(starts), max(int(max_batch), 1)):
+        for lo in range(0, len(starts), max_batch):
             chunk_starts = starts[lo : lo + max_batch]
-            epochs = np.asarray(
-                extract_epochs(rec_dev, jnp.asarray(chunk_starts), window)
+            epochs = extract_epochs(
+                rec_dev, jnp.asarray(chunk_starts), window
             )
             chunks.append(self.decode(epochs, channel_selections))
         out = {
@@ -549,7 +556,8 @@ def _configure_from_training_dir(params: argparse.Namespace) -> Dict[str, Any]:
             f"No config.yaml in {params.training_dir} — --training_dir "
             "must point at a training-stage output directory."
         )
-    flat = flatten_training_provenance(load_config(cfg_path) or {})
+    provenance = load_config(cfg_path) or {}
+    flat = flatten_training_provenance(provenance)
     ns = namespace_training_params(flat)
 
     targets = list(getattr(ns, "targets", []) or [])
@@ -581,6 +589,22 @@ def _configure_from_training_dir(params: argparse.Namespace) -> Dict[str, Any]:
                 "sample filename is not 'subject_<id>.npz' (streaming "
                 "mode has no sample filename to parse)."
             )
+
+    # Stash the subject's training epoch length from provenance: a
+    # streaming run must use the SAME window (the checkpointed weights
+    # restore into any window length without error, so a mismatch would
+    # decode silently wrong instead of loudly).
+    subjects_cfg = (
+        (provenance.get("sample_collection") or {}).get("params") or {}
+    ).get("subjects") or {}
+    entry = subjects_cfg.get(subject)
+    if entry is None:
+        try:
+            entry = subjects_cfg.get(int(subject))
+        except (TypeError, ValueError):
+            entry = None
+    if isinstance(entry, dict) and entry.get("sample_length") is not None:
+        params._provenance_sample_length = float(entry["sample_length"])
 
     # The run's seed stream (reference scheme, same as train_classifier).
     seeds = seed_stream(getattr(ns, "seed", 42), getattr(ns, "repeat", 1))
@@ -706,6 +730,17 @@ def run(params: argparse.Namespace) -> Dict[str, Any]:
                 "(it must equal the training epochs' sample_length)."
             )
         recording, stream_sf = _load_recording(params.stream_recording)
+        expect = getattr(params, "_provenance_sample_length", None)
+        if expect is not None and abs(
+            params.stream_window_s - expect
+        ) > 1e-9:
+            raise ValueError(
+                f"--stream_window_s {params.stream_window_s} does not "
+                f"match the training run's sample_length {expect} "
+                "(provenance) — the models were trained on that epoch "
+                "length and would decode a different window silently "
+                "wrong."
+            )
         window = int(round(params.stream_window_s * stream_sf))
         hop = int(round(params.stream_hop_s * stream_sf))
         dataset = {}
@@ -963,17 +998,22 @@ def _run_stream(
         writer.writerows(rows)
 
     # Decoded events: runs of label-stable windows (run-length rule).
+    # Always (re)written — a zero-event re-run must not leave a stale
+    # events.csv from a previous run beside an n_events=0 summary.
     events = segment_windows(
         out["tone"], out["syllable"], starts, window, sf,
         min_windows=getattr(params, "stream_min_windows", 3),
     )
-    if events:
-        with open(
-            os.path.join(params.output_dir, "events.csv"), "w", newline=""
-        ) as f:
-            writer = csv.DictWriter(f, fieldnames=list(events[0].keys()))
-            writer.writeheader()
-            writer.writerows(events)
+    with open(
+        os.path.join(params.output_dir, "events.csv"), "w", newline=""
+    ) as f:
+        writer = csv.DictWriter(
+            f,
+            fieldnames=["onset_s", "offset_s", "tone", "syllable",
+                        "n_windows"],
+        )
+        writer.writeheader()
+        writer.writerows(events)
 
     summary: Dict[str, Any] = {
         "n_windows": len(starts),

@@ -36,12 +36,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 # Honor JAX_PLATFORMS through jax.config too: an injected platform
 # plugin (sitecustomize) can register a backend that ignores the env
-# var, and a dead tunneled backend then HANGS init — the config knob is
-# authoritative either way (same pattern as tests/conftest.py).
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
+# var, and a dead tunneled backend then HANGS init.
+from decode_tonal_langauge_tpu.runtime.platform import (  # noqa: E402
+    honor_jax_platforms_env,
+)
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+honor_jax_platforms_env()
 
 
 def main() -> None:
@@ -56,7 +56,7 @@ def main() -> None:
     )
     from decode_tonal_langauge_tpu.pipeline import run_pipeline
 
-    print("== 1/4 generating a synthetic subject")
+    print("== 1/5 generating a synthetic subject")
     spec = SyntheticSpec(
         n_channels=12,
         n_blocks=2,
@@ -72,7 +72,7 @@ def main() -> None:
     )
     write_subject("raw", 1, spec)
 
-    print("== 2/4 running the YAML pipeline (per-target classifiers)")
+    print("== 2/5 running the YAML pipeline (per-target classifiers)")
     config = {
         "dataset": {
             "syllable_labels": ["mi", "ma"],
@@ -248,7 +248,7 @@ def main() -> None:
     print(f"   training results: {outputs['training']}/results.csv")
     print(f"   frozen evaluation: {outputs['evaluation']}/results.csv")
 
-    print("== 3/4 training the speech synthesizer (SynthesisLite)")
+    print("== 3/5 training the speech synthesizer (SynthesisLite)")
     synth_config = {
         "mel_kwargs": {"n_fft": 128, "hop_length": 64, "n_mels": 16},
         "tone_dynamic_mapping": {
@@ -295,7 +295,7 @@ def main() -> None:
         f"mel Pearson r {synth_summary.get('mel_pearson_r_mean', float('nan')):.3f}"
     )
 
-    print("== 4/4 serving: checkpoints decode the epochs to labels + speech")
+    print("== 4/5 serving: checkpoints decode the epochs to labels + speech")
     from decode_tonal_langauge_tpu import serving
 
     synth_ckpts = sorted(os.listdir("synth/ckpt"))

@@ -715,3 +715,62 @@ def test_honor_jax_platforms_env(monkeypatch):
     honor_jax_platforms_env()
     honor_jax_platforms_env()  # idempotent
     assert jax.config.jax_platforms == "cpu"
+
+
+def test_stream_window_validated_against_provenance(artifacts, tmp_path):
+    """With --training_dir, the streaming window is checked against the
+    run's sample_length: a mismatched window restores cleanly into the
+    models and would decode silently wrong."""
+    rec_path = str(tmp_path / "rec.npz")
+    np.savez(rec_path, data=np.zeros((N_CH, 200), np.float32), sf=100.0)
+    args = build_parser().parse_args([
+        "--stream_recording", rec_path,
+        "--stream_window_s", "0.3",
+        "--channel_file", artifacts["channel_file"],
+        "--config_file", artifacts["config_file"],
+        "--tone_model_name", "logistic",
+        "--tone_model_path", os.path.join(artifacts["root"], "tone_ckpt"),
+        "--syllable_model_name", "ShallowNN",
+        "--syllable_model_path", os.path.join(artifacts["root"], "syll_ckpt"),
+        "--output_dir", str(tmp_path / "o"),
+    ])
+    # what _configure_from_training_dir stashes from provenance
+    args._provenance_sample_length = 0.4
+    with pytest.raises(ValueError, match="sample_length"):
+        run(args)
+
+
+def test_stream_zero_events_overwrites_stale_events_csv(artifacts, tmp_path):
+    """events.csv is always rewritten: a zero-event re-run must not
+    leave a previous run's events beside an n_events summary of 0."""
+    import csv as _csv
+
+    out_dir = tmp_path / "o"
+    out_dir.mkdir()
+    (out_dir / "events.csv").write_text(
+        "onset_s,offset_s,tone,syllable,n_windows\n0.0,0.4,1,0,5\n"
+    )
+    rng = np.random.default_rng(8)
+    rec_path = str(tmp_path / "rec.npz")
+    np.savez(
+        rec_path,
+        data=rng.standard_normal((N_CH, 120)).astype(np.float32),
+        sf=100.0,
+    )
+    args = build_parser().parse_args([
+        "--stream_recording", rec_path,
+        "--stream_window_s", str(T / 100.0),
+        "--stream_hop_s", "0.24",
+        "--stream_min_windows", "1000",  # nothing can qualify
+        "--channel_file", artifacts["channel_file"],
+        "--config_file", artifacts["config_file"],
+        "--tone_model_name", "logistic",
+        "--tone_model_path", os.path.join(artifacts["root"], "tone_ckpt"),
+        "--syllable_model_name", "ShallowNN",
+        "--syllable_model_path", os.path.join(artifacts["root"], "syll_ckpt"),
+        "--output_dir", str(out_dir),
+    ])
+    summary = run(args)
+    assert summary["n_events"] == 0
+    with open(out_dir / "events.csv") as f:
+        assert list(_csv.DictReader(f)) == []  # stale rows gone
