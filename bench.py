@@ -897,6 +897,81 @@ def _probe_backend_subprocess(timeout_s: float) -> bool:
     return r.returncode == 0 and "ok" in r.stdout
 
 
+def bench_streaming(duration_s: float = 60.0, sf: float = 400.0,
+                    channels: int = 32, hop_s: float = 0.1,
+                    n_tones: int = 4, n_sylls: int = 8):
+    """Streaming decode throughput: a continuous high-gamma recording ->
+    sliding-window labels + mels (``TonalDecoder.decode_stream``), the
+    real-time serving path. Reports windows/s and the real-time factor
+    (recording seconds decoded per wall second). Window 0.5 s at 400 Hz
+    = the paper models' 200-sample input."""
+    import jax
+
+    from decode_tonal_langauge_tpu.models.deep import (
+        CNNClassifier,
+        CNNRNNClassifier,
+    )
+    from decode_tonal_langauge_tpu.models.synthesis import SynthesisLite
+    from decode_tonal_langauge_tpu.serving import TonalDecoder
+
+    length = 200  # 0.5 s at 400 Hz
+    rng = np.random.default_rng(0)
+    n_tone_ch, n_syll_ch, n_non = 6, 6, channels - 12
+    mapping = {str(k): list(np.linspace(0, 1, 10)) for k in range(n_tones)}
+    mel_dim = 128 * 20
+
+    tone_model = CNNRNNClassifier(
+        input_channels=n_tone_ch, input_length=length, n_classes=n_tones
+    )
+    syll_model = CNNClassifier(
+        input_channels=n_syll_ch, input_length=length, n_classes=n_sylls
+    )
+    synth_model = SynthesisLite(
+        output_dim=mel_dim, n_channels=n_non, n_timepoints=length
+    )
+    x_t = rng.standard_normal((1, n_tone_ch, length)).astype(np.float32)
+    x_s = rng.standard_normal((1, n_syll_ch, length)).astype(np.float32)
+    x_n = rng.standard_normal((1, n_non, length)).astype(np.float32)
+    import jax.numpy as jnp
+
+    labels0 = jnp.zeros((1, 2, 10), dtype=jnp.float32)
+    decoder = TonalDecoder(
+        tone_model,
+        tone_model.init({"params": jax.random.key(0)}, x_t, train=False),
+        syll_model,
+        syll_model.init({"params": jax.random.key(1)}, x_s, train=False),
+        mapping,
+        synthesis_model=synth_model,
+        synthesis_variables=synth_model.init(
+            {"params": jax.random.key(2)}, x_n[:1], labels0, train=False
+        ),
+    )
+    channels_json = {
+        "active_channels": list(range(channels)),
+        "tone_discriminative": list(range(n_tone_ch)),
+        "syllable_discriminative": list(
+            range(n_tone_ch, n_tone_ch + n_syll_ch)
+        ),
+    }
+    recording = rng.standard_normal(
+        (channels, int(duration_s * sf))
+    ).astype(np.float32)
+    hop = int(hop_s * sf)
+
+    out = decoder.decode_stream(recording, channels_json, length, hop)
+    n_windows = len(out["window_start"])
+
+    overhead = _readback_overhead()
+    t0 = time.perf_counter()
+    decoder.decode_stream(recording, channels_json, length, hop)
+    wall = max(time.perf_counter() - t0 - overhead, 1e-9)
+    return {
+        "stream_windows_per_s": n_windows / wall,
+        "stream_realtime_factor": duration_s / wall,
+        "stream_n_windows": n_windows,
+    }
+
+
 def _require_backend(
     total_budget_s: float = None, attempt_timeout_s: float = 240.0
 ) -> None:
@@ -996,6 +1071,7 @@ def main():
         ("gl", bench_griffinlim),
         ("fit", bench_synth_fit),
         ("serve", bench_serving),
+        ("stream", bench_streaming),
     ):
         t0 = time.perf_counter()
         print(f"[bench] section {name}: start", file=sys.stderr, flush=True)
@@ -1068,6 +1144,8 @@ def main():
         "synth_fit_classifier_pass_s": val("fit", "classifier_pass_s", 4),
         "serving_decode_batch32_s": val("serve", "decode_batch_s", 5),
         "serving_decode_trials_per_s": val("serve", "decode_trials_per_s", 1),
+        "stream_windows_per_s": val("stream", "stream_windows_per_s", 1),
+        "stream_realtime_factor": val("stream", "stream_realtime_factor", 1),
     }
     if errors:
         payload["errors"] = errors
